@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness — the BASELINE.md headline numbers on real hardware.
+
+Reference bar (BASELINE.md): Stanford dragon ~800k tris @ 960x540, ~100 FPS
+forward-only on the author's CUDA GPU => ~5.2e7 primary rays/s. The dragon
+PLY is stripped from the reference repo, so the headline scene here is a
+deterministic dragon-class mesh (same triangle count, utils/procgen.py);
+`--scene rabbit` benches the real rabbit_70k.ply when present.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(vs_baseline > 1.0 means faster than the reference's published number, with
+our number including the FULL backward pass.) Details go to
+BENCH_DETAILS.json and stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_RAYS_PER_SEC = 960 * 540 * 100.0  # README.md:19 at 1 ray/pixel
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_scene(args):
+    from cpp_cuda_raytracer_dev_tpu import (Camera, RenderConfig, Scene,
+                                            SceneObject, Triangles)
+    from cpp_cuda_raytracer_dev_tpu.accel.traverse import ClusterAccel
+    from cpp_cuda_raytracer_dev_tpu.utils.procgen import dragon_class_mesh
+
+    if args.scene == "rabbit":
+        from cpp_cuda_raytracer_dev_tpu.io import ply
+        mesh = ply.load_mesh(args.rabbit_path)
+        tv = mesh.tri_vertices
+        lo, hi = tv.reshape(-1, 3).min(0), tv.reshape(-1, 3).max(0)
+        center = (lo + hi) / 2
+        pos = center + np.array([0, 0, -(hi - lo)[2] * 2.2], np.float32)
+    else:
+        tv = dragon_class_mesh(args.tris)
+        center = np.zeros(3, np.float32)
+        pos = np.array([0.0, 0.0, -3.0], np.float32)
+
+    tris = Triangles.from_vertices(tv)
+    scene = Scene.create([SceneObject.create(tris)])
+    camera = Camera.create(args.width, args.height, pos=pos, look_at=center,
+                           up=[0.0, 1.0, 0.0], film_h=0.024,
+                           focal=0.055 if args.scene != "rabbit" else 0.035)
+    config = RenderConfig(method=args.method, leaf_size=args.leaf_size,
+                          tile_h=args.tile_h, tile_w=args.tile_w,
+                          max_candidates=args.max_candidates,
+                          chunk=args.chunk)
+    accel = None
+    if args.method in ("grid", "kd"):
+        t0 = time.perf_counter()
+        accel = (ClusterAccel.build(tris, leaf_size=config.leaf_size),)
+        log(f"accel build: {time.perf_counter() - t0:.2f}s "
+            f"({accel[0].num_clusters} clusters x {config.leaf_size})")
+    return scene, camera, config, accel, tv.shape[0]
+
+
+def validate(scene, camera, config, accel, n_sample=4096, seed=0):
+    """Grid path must agree with the brute-force oracle on sampled rays."""
+    import jax.numpy as jnp
+
+    from cpp_cuda_raytracer_dev_tpu.models.renderer import trace_rays
+    from cpp_cuda_raytracer_dev_tpu.utils.config import RenderConfig as RC
+
+    rmd = camera.ray_directions()
+    hit_g = trace_rays(scene, camera.pos, rmd, config, accel,
+                       camera.res_h, camera.res_w)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(rmd.shape[0], n_sample, replace=False)
+    sub = jnp.asarray(rmd[idx])
+    ref_cfg = RC(method="fixed", chunk=config.chunk,
+                 draw_distance=config.draw_distance, eps=config.eps)
+    hit_f = trace_rays(scene, camera.pos, sub, ref_cfg)
+    agree = float(np.mean(np.asarray(hit_g.tri)[idx] == np.asarray(hit_f.tri)))
+    terr = float(np.max(np.abs(np.asarray(hit_g.t)[idx]
+                               - np.asarray(hit_f.t))))
+    hit_rate = float(np.mean(np.asarray(hit_g.tri) >= 0))
+    log(f"validate: agree={agree:.4f} max|dt|={terr:.2e} "
+        f"hit_rate={hit_rate:.3f}")
+    return agree, hit_rate
+
+
+def bench(fn, args_, warmup=2, iters=10):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args_))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args_)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="dragon-class",
+                   choices=["dragon-class", "rabbit"])
+    p.add_argument("--tris", type=int, default=800_000)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--method", default="grid")
+    p.add_argument("--leaf-size", type=int, default=128)
+    p.add_argument("--tile-h", type=int, default=8)
+    p.add_argument("--tile-w", type=int, default=128)
+    p.add_argument("--max-candidates", type=int, default=48)
+    p.add_argument("--chunk", type=int, default=2048)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--quick", action="store_true",
+                   help="small smoke-test configuration")
+    p.add_argument("--skip-validate", action="store_true")
+    p.add_argument("--rabbit-path",
+                   default="/root/reference/TEST_Dungeonrun/rabbit_70k.ply")
+    args = p.parse_args()
+    if args.quick:
+        args.tris, args.width, args.height = 20_000, 256, 256
+        args.leaf_size, args.max_candidates, args.iters = 64, 24, 3
+
+    import jax
+    import jax.numpy as jnp
+
+    log(f"devices: {jax.devices()}")
+    scene, camera, config, accel, num_tris = build_scene(args)
+    num_rays = camera.res_w * camera.res_h
+
+    from cpp_cuda_raytracer_dev_tpu.models.renderer import render
+
+    fwd = jax.jit(lambda s, c: render(s, c, config, accel).radiance)
+
+    w = jnp.linspace(0.3, 1.7, num_rays * 3).reshape(
+        camera.res_h, camera.res_w, 3)
+
+    def loss(s, c):
+        return jnp.mean(render(s, c, config, accel).radiance * w)
+
+    fwd_bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fwd(scene, camera))
+    log(f"fwd compile: {time.perf_counter() - t0:.1f}s")
+
+    agree = 1.0
+    if not args.skip_validate:
+        agree, hit_rate = validate(scene, camera, config, accel)
+
+    dt_f = bench(fwd, (scene, camera), iters=args.iters)
+    log(f"forward: {dt_f * 1e3:.2f} ms/frame = {1 / dt_f:.1f} FPS "
+        f"= {num_rays / dt_f:.3e} rays/s")
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fwd_bwd(scene, camera))
+    log(f"fwd+bwd compile: {time.perf_counter() - t0:.1f}s")
+    dt_fb = bench(fwd_bwd, (scene, camera), iters=args.iters)
+    log(f"fwd+bwd: {dt_fb * 1e3:.2f} ms/step = {1 / dt_fb:.1f} FPS "
+        f"= {num_rays / dt_fb:.3e} rays/s")
+
+    rays_s = num_rays / dt_fb
+    details = {
+        "scene": args.scene, "num_tris": num_tris,
+        "resolution": [args.width, args.height],
+        "method": args.method, "leaf_size": args.leaf_size,
+        "max_candidates": args.max_candidates,
+        "fwd_ms": dt_f * 1e3, "fwd_fps": 1 / dt_f,
+        "fwd_rays_per_sec": num_rays / dt_f,
+        "fwd_bwd_ms": dt_fb * 1e3, "fwd_bwd_fps": 1 / dt_fb,
+        "fwd_bwd_rays_per_sec": rays_s,
+        "oracle_agreement": agree,
+        "reference_rays_per_sec_fwd_only": REF_RAYS_PER_SEC,
+    }
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": f"rays/sec/chip fwd+bwd ({args.scene} {num_tris} tris "
+                  f"@ {args.width}x{args.height})",
+        "value": round(rays_s),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_s / REF_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Pinhole camera model + ray generation as pure, differentiable JAX.
+
+Replaces the reference's ``Camera`` class (``TEST_Dungeonrun/Camera.h/.cpp``)
+and its ray-gen kernel ``init_cam_mem_cuda`` (``Camera.cu:89-111``). The
+reference allocates ~17 mutable per-pixel device arrays up front
+(Camera.cpp:73-108); here ray generation is a pure function of the camera
+parameters, so "camera state" is just this pytree and the per-pixel buffers
+(`RayBuffers`) are recomputed/fused by XLA each frame — and the whole thing is
+differentiable w.r.t. position/look-at/up/focal length for free.
+
+Conventions (matching Camera.cpp:32-67):
+  n = normalize(look_at - pos)            # view direction
+  v = normalize(n x (up x n))             # screen-up
+  u = v x n                               # screen-right
+  pixel pitch = film / resolution
+  n_mod = n*focal - v_mod*adjust_y - u_mod*adjust_x   (bottom-left pixel)
+  ray(ix, iy) = normalize(n_mod + u_mod*ix + v_mod*iy)
+with adjust = res//2, minus half a pixel when the resolution is even
+(Camera.cpp:61-63). Row iy=0 is the *bottom* of the image (bottom-up DIB,
+WinMain.cpp:217).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import vecmath
+
+
+class Camera(struct.PyTreeNode):
+    pos: jax.Array        # (3,)
+    look_at: jax.Array    # (3,)
+    up: jax.Array         # (3,)
+    film_w: jax.Array     # scalar — film width in meters (.024 * aspect)
+    film_h: jax.Array     # scalar
+    focal: jax.Array      # scalar — focal length (.055 in WinMain.cpp:70)
+    res_w: int = struct.field(pytree_node=False, default=960)
+    res_h: int = struct.field(pytree_node=False, default=540)
+
+    @classmethod
+    def create(cls, res_w: int, res_h: int, pos, look_at, up,
+               film_h: float = 0.024, focal: float = 0.055,
+               film_w: float | None = None) -> "Camera":
+        """Reference construction (WinMain.cpp:69-74): film_w = aspect*0.024."""
+        if film_w is None:
+            film_w = film_h * (res_w / res_h)
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        return cls(pos=f32(pos), look_at=f32(look_at), up=f32(up),
+                   film_w=f32(film_w), film_h=f32(film_h), focal=f32(focal),
+                   res_w=res_w, res_h=res_h)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.res_w * self.res_h
+
+    def pixel_pitch(self) -> tuple[jax.Array, jax.Array]:
+        return self.film_w / self.res_w, self.film_h / self.res_h
+
+    def basis(self) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """(n, u, v) orthonormal basis per Camera.cpp:32-58."""
+        n = vecmath.normalize(self.look_at - self.pos)
+        up = vecmath.normalize(self.up)
+        v = vecmath.normalize(vecmath.cross(n, vecmath.cross(up, n)))
+        u = vecmath.cross(v, n)
+        return n, u, v
+
+    def ray_mods(self) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """(n_mod, u_mod, v_mod) per-pixel ray deltas (Camera.cpp:61-67)."""
+        n, u, v = self.basis()
+        pix_w, pix_h = self.pixel_pitch()
+        u_mod = u * pix_w
+        v_mod = v * pix_h
+        adjust_x = self.res_w // 2 - (0.5 if self.res_w % 2 == 0 else 0.0)
+        adjust_y = self.res_h // 2 - (0.5 if self.res_h % 2 == 0 else 0.0)
+        n_mod = n * self.focal - v_mod * adjust_y - u_mod * adjust_x
+        return n_mod, u_mod, v_mod
+
+    def ray_directions(self) -> jax.Array:
+        """All primary ray directions, flat (H*W, 3), row iy=0 = bottom.
+
+        Pixel index i maps to (ix, iy) = (i % W, i // W) exactly like the
+        1-thread-per-pixel kernel (Camera.cu:94-95,103-104).
+        """
+        n_mod, u_mod, v_mod = self.ray_mods()
+        ix = jnp.arange(self.res_w, dtype=jnp.float32)
+        iy = jnp.arange(self.res_h, dtype=jnp.float32)
+        d = (n_mod[None, None, :]
+             + u_mod[None, None, :] * ix[None, :, None]
+             + v_mod[None, None, :] * iy[:, None, None])  # (H, W, 3)
+        return vecmath.normalize(d).reshape(-1, 3)
+
+
+class RayBuffers(struct.PyTreeNode):
+    """Per-pixel ray state — the analogue of ``Camera::pixel_memory``
+    (Camera.h:15-97, filled by Camera.cu:89-111), as an immutable pytree."""
+
+    rmd: jax.Array        # (N, 3) unit ray directions
+    inv_rmd: jax.Array    # (N, 3) 1/rmd (Camera.cu:106)
+    sign_rmd: jax.Array   # (N, 3) int32 sign bits (Camera.cu:107)
+    dist: jax.Array       # (N,) hit distance, init draw_distance
+    rmi: jax.Array        # (N,) int32 hit triangle index, init -1
+
+    @classmethod
+    def create(cls, camera: Camera, draw_distance: float = 400.0
+               ) -> "RayBuffers":
+        rmd = camera.ray_directions()
+        n = rmd.shape[0]
+        return cls(
+            rmd=rmd,
+            inv_rmd=1.0 / rmd,
+            sign_rmd=vecmath.sign_bits(rmd),
+            dist=jnp.full((n,), draw_distance, rmd.dtype),
+            rmi=jnp.full((n,), -1, jnp.int32),
+        )

@@ -1,0 +1,176 @@
+"""The renderer: ray gen -> per-object intersect -> nearest combine -> shade.
+
+This is the frame loop body of the reference (``WinMain.cpp:212-237``:
+``obj->render`` -> ``intersect_voxel_cuda`` then ``color_pixels`` ->
+``color_cam_cuda``) re-designed as one pure jit-compiled function.
+
+Structure: the core (`render_rays`) operates on a flat batch of rays with
+explicit band dimensions, so the same function runs single-chip or inside
+``shard_map`` over image-row bands (parallel/render_pjit.py). `render` is
+the single-chip convenience wrapper that adds ray gen + image reshape.
+
+Differentiability design (SURVEY.md §7 step 5): nearest-hit *selection*
+(triangle indices) is discrete and wrapped in ``stop_gradient``; the shading
+path then *re-derives* the hit distance differentiably from the selected
+triangle's geometry, so gradients flow w.r.t. vertices, poses, camera, and
+Phong/light parameters at fixed topology — matching the "grad allclose vs
+FD" acceptance bar (BASELINE.json). Backward cost is O(rays), not
+O(rays x tris): only the selected triangle is re-intersected.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.intersect import (FixedOriginCache, Hit, mt_brute, mt_fixed_origin,
+                             mt_test)
+from ..utils.config import RenderConfig
+from .camera import Camera
+from .scene import Scene
+
+
+class RenderOutput(struct.PyTreeNode):
+    """Frame outputs. ``image`` is the uint8 framebuffer (H, W, 3), row 0 at
+    the *bottom* (bottom-up DIB order, WinMain.cpp:217); ``radiance`` is the
+    pre-tonemap float image for losses/grads; plus per-pixel aux buffers
+    (the surviving fields of Camera::pixel_memory)."""
+
+    image: jax.Array      # (H, W, 3) uint8
+    radiance: jax.Array   # (H, W, 3) float32 (pre-tonemap, 0 on miss)
+    hit_t: jax.Array      # (H, W) float32
+    hit_tri: jax.Array    # (H, W) int32, -1 = miss
+    hit_obj: jax.Array    # (H, W) int32, -1 = miss
+    normal: jax.Array     # (H, W, 3) float32 world-space (0 on miss)
+    point: jax.Array      # (H, W, 3) float32 world-space hit points
+
+
+def trace_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
+               config: RenderConfig, accel=None,
+               band_h: int | None = None, band_w: int | None = None) -> Hit:
+    """Nearest hit over all objects. ``rmd``: (R, 3) world unit dirs from
+    shared ``origin``; band_h*band_w == R (row-major) for the tiled path.
+
+    Pose-on-the-ray trick (Trixel.cu:60-66): geometry stays in its
+    build-time frame; each object transforms the rays instead.
+    """
+    best = Hit.miss(rmd.shape[0], config.draw_distance)
+    for oi, obj in enumerate(scene.objects):
+        d_obj = obj.pose.inv_apply_vec(rmd)
+        o_obj = obj.pose.inv_apply(origin)
+        if config.method == "brute":
+            hit = mt_brute(o_obj, d_obj, obj.tris, config.draw_distance,
+                           config.eps, config.chunk)
+        elif config.method == "fixed":
+            cache = FixedOriginCache.build(o_obj, obj.tris)
+            hit = mt_fixed_origin(d_obj, cache, config.draw_distance,
+                                  config.eps, config.chunk)
+        elif config.method == "grid":
+            from ..accel.traverse import intersect_clustered
+            hit = intersect_clustered(o_obj, d_obj, obj.tris, accel[oi],
+                                      config, band_h, band_w)
+        elif config.method == "pallas":
+            from ..accel.traverse import intersect_clustered_pallas
+            hit = intersect_clustered_pallas(o_obj, d_obj, accel[oi],
+                                             config, band_h, band_w)
+        elif config.method == "kd":
+            from ..accel.traverse import kd_intersect
+            hit = kd_intersect(o_obj, d_obj, accel[oi],
+                               config.draw_distance, config.eps)
+        else:
+            raise ValueError(f"unknown intersect method {config.method!r}")
+        hit = hit.replace(
+            obj=jnp.where(hit.tri >= 0, jnp.int32(oi), jnp.int32(-1)))
+        best = best.merge(hit)
+    return best
+
+
+def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
+               config: RenderConfig):
+    """Differentiable shading given (stop-gradient) hit indices.
+
+    Returns (radiance (R,3), normal (R,3), point (R,3), hit_mask (R,)).
+    """
+    from ..ops.shade import phong_radiance
+
+    num_r = rmd.shape[0]
+    tri_idx = jnp.maximum(hit.tri, 0)
+    radiance = jnp.zeros((num_r, 3), jnp.float32)
+    normal = jnp.zeros((num_r, 3), jnp.float32)
+    point = jnp.zeros((num_r, 3), jnp.float32)
+
+    for oi, obj in enumerate(scene.objects):
+        mask = (hit.obj == oi) & (hit.tri >= 0)
+        p1 = obj.tris.p1[tri_idx]
+        e1 = obj.tris.e1[tri_idx]
+        e2 = obj.tris.e2[tri_idx]
+        n_obj = obj.tris.n[tri_idx]
+        color = obj.tris.color[tri_idx]
+
+        d_obj = obj.pose.inv_apply_vec(rmd)
+        o_obj = obj.pose.inv_apply(origin)
+        t_diff, _, _, valid = mt_test(o_obj[None, :], d_obj, p1, e1, e2,
+                                      config.eps)
+        # Differentiable t where the recompute agrees; fall back to the
+        # traversal's t otherwise (degenerate/epsilon-edge cases).
+        t = jnp.where(valid & mask, t_diff, hit.t)
+
+        pnt = origin[None, :] + t[..., None] * rmd           # world space
+        nrm = obj.pose.apply_vec(n_obj)                       # world space
+        rad = phong_radiance(pnt, nrm, rmd, color, scene.phong)
+
+        m3 = mask[..., None]
+        radiance = jnp.where(m3, rad, radiance)
+        normal = jnp.where(m3, nrm, normal)
+        point = jnp.where(m3, pnt, point)
+
+    return radiance, normal, point, hit.tri >= 0
+
+
+def render_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
+                config: RenderConfig, accel=None,
+                band_h: int | None = None, band_w: int | None = None):
+    """Flat-ray pipeline (trace + shade + compose); the shard_map worker.
+
+    Returns a dict of flat per-ray arrays.
+    """
+    from ..ops.shade import compose_framebuffer
+
+    hit = jax.lax.stop_gradient(
+        trace_rays(scene, origin, rmd, config, accel, band_h, band_w))
+    radiance, normal, point, hit_mask = shade_hits(
+        scene, origin, rmd, hit, config)
+    image = compose_framebuffer(radiance, hit_mask, config.background_rgb)
+    return dict(
+        image=image,
+        radiance=jnp.where(hit_mask[..., None], radiance, 0.0),
+        hit_t=hit.t, hit_tri=hit.tri, hit_obj=hit.obj,
+        normal=normal, point=point,
+    )
+
+
+def render(scene: Scene, camera: Camera,
+           config: RenderConfig = RenderConfig(), accel=None
+           ) -> RenderOutput:
+    """Full forward frame, single device. Jit with config static:
+
+        frame = jax.jit(render, static_argnums=2)(scene, camera, config)
+    """
+    rmd = camera.ray_directions()                     # (R, 3)
+    flat = render_rays(scene, camera.pos, rmd, config, accel,
+                       camera.res_h, camera.res_w)
+    h, w = camera.res_h, camera.res_w
+
+    def shape(x):
+        return x.reshape(h, w, *x.shape[1:])
+
+    return RenderOutput(**{k: shape(v) for k, v in flat.items()})
+
+
+@partial(jax.jit, static_argnums=2)
+def render_jit(scene: Scene, camera: Camera,
+               config: RenderConfig = RenderConfig()) -> RenderOutput:
+    return render(scene, camera, config)

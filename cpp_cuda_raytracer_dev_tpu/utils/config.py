@@ -1,0 +1,39 @@
+"""Render configuration — the reference's scattered compile-time constants
+(``PPP_TAG``, ``BLOCK_SIZE``, draw distance 400, background (240,130,0),
+``min_node_size``, light/Phong literals; see SURVEY.md §5 "Config") made into
+one runtime dataclass. Fields that shape compiled code (resolution, tiling,
+method) are static; physical quantities live in the scene/camera pytrees so
+they stay differentiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .dtypes import (DEFAULT_BACKGROUND_RGB, DEFAULT_DRAW_DISTANCE,
+                     MT_EPSILON)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # Ray termination distance (Camera.cpp:70 / Trixel.cu:47 hardcode 400).
+    draw_distance: float = DEFAULT_DRAW_DISTANCE
+    # Miss-pixel fill color (Camera.cpp:72).
+    background_rgb: tuple[int, int, int] = DEFAULT_BACKGROUND_RGB
+    # MT acceptance epsilon (vector.cuh:10-13).
+    eps: float = MT_EPSILON
+    # Intersection backend: "brute" (oracle), "fixed" (matmul-form brute),
+    # "grid" (two-level cluster-accelerated TPU path).
+    method: str = "fixed"
+    # Triangle chunk for the brute paths (bounds R x chunk memory).
+    chunk: int = 2048
+    # --- accelerated path ---
+    # Triangles per spatial leaf cluster (KD build stops here; the
+    # reference uses min_node_size=1, Trixel.h:80 — too fine for a vector
+    # machine, so the TPU path uses wide leaves and dense per-leaf MT).
+    leaf_size: int = 128
+    # Ray-tile edge lengths (pixels): tiles are the unit of culling.
+    tile_h: int = 8
+    tile_w: int = 128
+    # Max candidate clusters per tile after culling (static shape bound).
+    max_candidates: int = 48

@@ -1,0 +1,49 @@
+"""Procedural benchmark meshes.
+
+The reference's headline benchmark mesh (Stanford dragon, ~800k triangles —
+README.md:19) ships stripped from the repo (`.MISSING_LARGE_BLOBS`), so the
+benchmark harness synthesizes deterministic meshes of exactly the same
+primitive count: a UV sphere with 2*lat*lon triangles and optional radial
+displacement to roughen the surface (dragon-class triangle density and
+depth complexity without the asset).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def uv_sphere(lat: int, lon: int, radius: float = 1.0,
+              roughness: float = 0.0, seed: int = 0) -> np.ndarray:
+    """(T, 3, 3) float32 triangle soup with T = 2*lat*lon.
+
+    lat x lon quad grid over the sphere, each quad split into 2 triangles
+    (the same quad-split the PLY loader performs, read_ply.cpp:70-125).
+    roughness > 0 displaces vertices radially with deterministic noise.
+    """
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(0.0, np.pi, lat + 1)           # (lat+1,)
+    phi = np.linspace(0.0, 2 * np.pi, lon + 1)         # (lon+1,)
+    t, p = np.meshgrid(theta, phi, indexing="ij")
+    r = radius * (1.0 + (roughness * rng.standard_normal(t.shape)
+                         if roughness else 0.0))
+    x = r * np.sin(t) * np.cos(p)
+    y = r * np.cos(t)
+    z = r * np.sin(t) * np.sin(p)
+    v = np.stack([x, y, z], axis=-1).astype(np.float32)  # (lat+1, lon+1, 3)
+
+    a = v[:-1, :-1]   # (lat, lon, 3) quad corners
+    b = v[:-1, 1:]
+    c = v[1:, 1:]
+    d = v[1:, :-1]
+    t1 = np.stack([a, b, c], axis=2)   # (lat, lon, 3, 3)
+    t2 = np.stack([a, c, d], axis=2)
+    tris = np.concatenate([t1[:, :, None], t2[:, :, None]], axis=2)
+    return tris.reshape(-1, 3, 3)
+
+
+def dragon_class_mesh(num_tris: int = 800_000, seed: int = 0) -> np.ndarray:
+    """A deterministic mesh with ~num_tris triangles (within one row)."""
+    lat = int(np.sqrt(num_tris / 4))
+    lon = int(np.ceil(num_tris / (2 * lat)))
+    return uv_sphere(lat, lon, roughness=0.03, seed=seed)
