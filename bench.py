@@ -58,7 +58,7 @@ def build_scene(args):
                           max_candidates=args.max_candidates,
                           chunk=args.chunk)
     accel = None
-    if args.method in ("grid", "kd"):
+    if args.method in ("grid", "pallas", "kd"):
         t0 = time.perf_counter()
         accel = (ClusterAccel.build(tris, leaf_size=config.leaf_size),)
         log(f"accel build: {time.perf_counter() - t0:.2f}s "
@@ -109,7 +109,7 @@ def main():
     p.add_argument("--tris", type=int, default=800_000)
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
-    p.add_argument("--method", default="grid")
+    p.add_argument("--method", default="pallas")
     p.add_argument("--leaf-size", type=int, default=128)
     p.add_argument("--tile-h", type=int, default=8)
     p.add_argument("--tile-w", type=int, default=128)

@@ -56,21 +56,36 @@ class ClusterAccel(struct.PyTreeNode):
     bounds_min: jax.Array   # (C, 3)
     bounds_max: jax.Array   # (C, 3)
     centers: jax.Array      # (C, 3)
-    p1: jax.Array           # (C*L, 3) slot geometry (object frame)
-    e1: jax.Array           # (C*L, 3)
-    e2: jax.Array           # (C*L, 3)
-    slot_tri: jax.Array     # (C*L,) int32 original tri index, -1 = padding
-    # kernel-friendly layouts for the Pallas path: one (L, 9) geometry block
-    # per cluster (columns: p1.xyz | e1.xyz | e2.xyz — slots on sublanes so
-    # every kernel intermediate stays 2-D) and the slot->tri map as (C, L).
-    # Static per scene — zero per-frame prep.
+    # Single packed geometry layout, shared by both intersect paths: one
+    # (L, 9) block per cluster (columns: p1.xyz | e1.xyz | e2.xyz — slots on
+    # sublanes so every Pallas intermediate stays 2-D) and the slot->tri map
+    # as (C, L). Static per scene — zero per-frame prep, and only ONE
+    # host->device transfer of the big array (the tunnel to the TPU is slow;
+    # duplicating flat views cost minutes at dragon scale).
     geom_t: jax.Array       # (C, L, 9) float32
-    slot_mat: jax.Array     # (C, L) int32
+    slot_mat: jax.Array     # (C, L) int32, original tri index, -1 = padding
     leaf_size: int = struct.field(pytree_node=False)
 
     @property
     def num_clusters(self) -> int:
         return self.bounds_min.shape[0]
+
+    # flat per-slot views (device-side reshapes — free under jit)
+    @property
+    def p1(self) -> jax.Array:
+        return self.geom_t.reshape(-1, 9)[:, 0:3]
+
+    @property
+    def e1(self) -> jax.Array:
+        return self.geom_t.reshape(-1, 9)[:, 3:6]
+
+    @property
+    def e2(self) -> jax.Array:
+        return self.geom_t.reshape(-1, 9)[:, 6:9]
+
+    @property
+    def slot_tri(self) -> jax.Array:
+        return self.slot_mat.reshape(-1)
 
     @classmethod
     def build(cls, tris, leaf_size: int = 128) -> "ClusterAccel":
@@ -102,10 +117,6 @@ class ClusterAccel(struct.PyTreeNode):
         return cls(
             bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
             centers=jnp.asarray((bmin + bmax) / 2.0),
-            p1=jnp.asarray(sp1.reshape(-1, 3)),
-            e1=jnp.asarray(se1.reshape(-1, 3)),
-            e2=jnp.asarray(se2.reshape(-1, 3)),
-            slot_tri=jnp.asarray(slot_tri.reshape(-1)),
             geom_t=jnp.asarray(geom_t),
             slot_mat=jnp.asarray(slot_tri),
             leaf_size=leaf_size,
@@ -271,9 +282,16 @@ def intersect_clustered_pallas(o: jax.Array, d: jax.Array,
     tiles, meta = _tile_rays(d, res_h, res_w, th, tw)       # (nT, P, 3)
     cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k)
     d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
+    # candidate AABBs gathered per tile: tiny (nT, K, 8) array the kernel
+    # keeps resident for its per-step slab tests
+    box8 = jnp.concatenate(
+        [accel.bounds_min, accel.bounds_max,
+         jnp.zeros((accel.num_clusters, 2), jnp.float32)], axis=1)  # (C, 8)
+    boxes = jnp.take(box8, cand.reshape(-1), axis=0).reshape(
+        cand.shape[0], k, 8)
 
     t_tiles, tri_tiles = pallas_tile_intersect(
-        d_tiles, cand, count, o, accel.geom_t, accel.slot_mat,
+        d_tiles, cand, count, boxes, o, accel.geom_t, accel.slot_mat,
         leaf=accel.leaf_size, eps=config.eps,
         draw_distance=config.draw_distance, interpret=interpret)
 

@@ -62,3 +62,21 @@ def test_pose_rotate_about_pivot_keeps_pivot_fixed():
     # the object-frame origin maps to the same world point (the pivot)
     np.testing.assert_allclose(
         rotated.apply(jnp.zeros(3)), pivot, atol=1e-6)
+
+
+def test_profiling_timer_and_metrics():
+    from cpp_cuda_raytracer_dev_tpu.utils import profiling
+    import jax.numpy as jnp
+
+    tm = profiling.Timer()
+    with tm.phase("warm"):
+        x = jnp.ones((8, 8)) * 2.0
+    with tm.phase("mul", fence=x):
+        x = x * 3.0
+    rep = tm.report()
+    assert "warm" in rep and "mul" in rep
+
+    m = profiling.FrameMetrics(frame_ms=10.0, num_rays=518_400, hit_rate=0.9)
+    assert abs(m.fps - 100.0) < 1e-9
+    assert abs(m.rays_per_sec - 5.184e7) < 1.0
+    assert "FPS" in profiling.metrics_line(m)
