@@ -301,6 +301,66 @@ def intersect_clustered_pallas(o: jax.Array, d: jax.Array,
                obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
 
 
+def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
+                                  accel: ClusterAccel, config: RenderConfig,
+                                  res_h: int, res_w: int,
+                                  interpret: bool | None = None) -> Hit:
+    """Gen-2 perf path: dynamic per-tile candidate loop with manual
+    double-buffered DMA (ops/pallas/intersect_kernel_v2.py)."""
+    from ..ops.pallas.intersect_kernel_v2 import pallas_tile_intersect_v2
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th, tw = config.tile_h, config.tile_w
+    k = min(config.max_candidates, accel.num_clusters)
+
+    tiles, meta = _tile_rays(d, res_h, res_w, th, tw)       # (nT, P, 3)
+    cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k)
+    d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
+
+    box8 = jnp.concatenate(
+        [accel.bounds_min, accel.bounds_max,
+         jnp.zeros((accel.num_clusters, 2), jnp.float32)], axis=1)  # (C, 8)
+    boxes = jnp.take(box8, cand.reshape(-1), axis=0).reshape(
+        cand.shape[0], k, 8)
+
+    # conservative lower bound on any hit t inside each candidate (unit
+    # dirs => t >= Euclidean distance from origin to the AABB), then the
+    # suffix-min over the nearest-first candidate order — the kernel's
+    # loop-exit certificate
+    gap = jnp.maximum(jnp.maximum(accel.bounds_min - o[None, :],
+                                  o[None, :] - accel.bounds_max), 0.0)
+    dist_c = jnp.sqrt(jnp.sum(gap * gap, axis=-1))          # (C,)
+    dist = jnp.take(dist_c, cand.reshape(-1)).reshape(cand.shape)
+    kk = jnp.arange(k, dtype=jnp.int32)[None, :]
+    dist = jnp.where(kk < count[:, None], dist, jnp.inf)
+    sufmin = jnp.flip(
+        jax.lax.cummin(jnp.flip(dist, axis=1), axis=1), axis=1)
+
+    geom10 = jnp.concatenate(
+        [accel.geom_t,
+         jax.lax.bitcast_convert_type(accel.slot_mat, jnp.float32)[..., None]],
+        axis=2).transpose(0, 2, 1)                          # (C, 10, L)
+    # manual DMA needs the slot (lane) dim 128-aligned; pad with dead slots
+    # (zero geometry => det==0 reject; tri bits of -1 => masked out)
+    lpad = (-geom10.shape[2]) % 128
+    if lpad:
+        fill = jnp.zeros((geom10.shape[0], 10, lpad), jnp.float32)
+        fill = fill.at[:, 9, :].set(
+            jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32))
+        geom10 = jnp.concatenate([geom10, fill], axis=2)
+
+    t_tiles, tri_tiles = pallas_tile_intersect_v2(
+        d_tiles, cand, count, boxes, sufmin, o, geom10,
+        leaf=geom10.shape[2], eps=config.eps,
+        draw_distance=config.draw_distance, interpret=interpret)
+
+    t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
+    tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)
+    return Hit(t=t_flat, tri=tri_flat,
+               obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
+
+
 class KDTables(struct.PyTreeNode):
     """Device-resident flattened KD tree (any leaf width) — the analogue of
     the per-camera voxel tables built by init_cam_voxel_mem_cuda

@@ -76,6 +76,10 @@ def trace_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
             from ..accel.traverse import intersect_clustered_pallas
             hit = intersect_clustered_pallas(o_obj, d_obj, accel[oi],
                                              config, band_h, band_w)
+        elif config.method == "pallas2":
+            from ..accel.traverse import intersect_clustered_pallas_v2
+            hit = intersect_clustered_pallas_v2(o_obj, d_obj, accel[oi],
+                                                config, band_h, band_w)
         elif config.method == "kd":
             from ..accel.traverse import kd_intersect
             hit = kd_intersect(o_obj, d_obj, accel[oi],

@@ -1,0 +1,231 @@
+"""Gen-2 fused tile-intersection kernel: dynamic candidate loop + manual DMA.
+
+The gen-1 kernel (intersect_kernel.py) uses a static (tiles x K) grid and
+predicates off useless steps — correct, but every tile still *iterates* K
+steps. This version makes the candidate loop dynamic, the TPU analogue of
+the reference's early-terminating ordered KD traversal
+(``TEST_Dungeonrun/Trixel.cu:70-169``):
+
+  grid = (num_tiles,); per tile one kernel invocation:
+    - ray dirs (3, P), candidate AABBs (K, 8) resident in VMEM;
+    - a `lax.while_loop` walks candidates nearest-first and STOPS as soon
+      as no remaining cluster can beat any ray's current best hit:
+      cond = k < count[t]  AND  suffmin_dist[t, k] < max_p best_t[p],
+      where suffmin_dist is the suffix-min over candidates of the
+      conservative Euclidean origin->AABB distance (a lower bound on any
+      hit t for unit-norm rays) — computed in the XLA cull stage;
+    - per candidate the AABB is slab-tested per ray bounded by best_t;
+      the Möller–Trumbore block only runs when some ray can improve;
+    - cluster geometry (L, 10: p1|e1|e2|tri_bits) is DMA'd HBM->VMEM by
+      hand with two buffers, next candidate prefetched during the current
+      one's compute (double buffering);
+    - the MT math is identical to gen-1: MXU contraction (3L, 3)x(3, P),
+      sign-aware division-free acceptance, masked min + tie-min select.
+
+Compute and DMA cost now track the *dynamic* number of useful candidates
+per tile instead of the static K bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.dtypes import MT_EPSILON
+
+_HP = jax.lax.Precision.HIGHEST
+_I32_MAX = 2**31 - 1
+
+
+def _kernel(cand_ref, count_ref, sufmin_ref, origin_ref,   # scalar prefetch
+            d_ref, box_ref, geom_hbm,                      # blocks / HBM
+            out_t_ref, out_tri_ref,                        # outputs
+            geom_vmem, sem,                                # scratch
+            *, eps: float, draw_distance: float, leaf: int, kmax: int):
+    t = pl.program_id(0)
+    count = count_ref[t]
+
+    out_t_ref[...] = jnp.full_like(out_t_ref, draw_distance)
+    out_tri_ref[...] = jnp.full_like(out_tri_ref, -1)
+
+    d = d_ref[0]                                           # (3, P)
+    ox, oy, oz = origin_ref[0], origin_ref[1], origin_ref[2]
+    dsf = jnp.where(jnp.abs(d) < 1e-30,
+                    jnp.where(d < 0, -1e-30, 1e-30), d)
+    inv = pl.reciprocal(dsf, approx=False)                 # (3, P)
+
+    def dma(slot, k):
+        return pltpu.make_async_copy(
+            geom_hbm.at[cand_ref[t, k]], geom_vmem.at[slot], sem.at[slot])
+
+    @pl.when(count > 0)
+    def _warmup():
+        dma(0, 0).start()
+
+    def body(carry):
+        k, wb, _snext = carry
+        slot = jax.lax.rem(k, 2)
+
+        # prefetch next candidate while this one computes
+        @pl.when(k + 1 < count)
+        def _prefetch():
+            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        # slab-test this candidate per ray, bounded by current best
+        row = box_ref[0, pl.ds(k, 1), :]                   # (1, 8)
+        ta_x = (row[:, 0:1] - ox) * inv[0:1]
+        tb_x = (row[:, 3:4] - ox) * inv[0:1]
+        ta_y = (row[:, 1:2] - oy) * inv[1:2]
+        tb_y = (row[:, 4:5] - oy) * inv[1:2]
+        ta_z = (row[:, 2:3] - oz) * inv[2:3]
+        tb_z = (row[:, 5:6] - oz) * inv[2:3]
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(ta_x, tb_x), jnp.minimum(ta_y, tb_y)),
+            jnp.minimum(ta_z, tb_z))
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(ta_x, tb_x), jnp.maximum(ta_y, tb_y)),
+            jnp.maximum(ta_z, tb_z))
+        best = out_t_ref[0]                                # (1, P)
+        box_ok = ((t_far >= jnp.maximum(t_near, 0.0) - 1e-4)
+                  & (t_near < best))
+
+        # the slot must be consumed before it can be reused two steps on,
+        # so always wait — the copy is tiny and long since landed
+        dma(slot, k).wait()
+
+        @pl.when(jnp.any(box_ok))
+        def _mt():
+            # geometry rides (10, L): components on sublanes, slots on
+            # lanes — manual DMA requires the trailing dim 128-aligned
+            g = geom_vmem[slot]            # (10, L): p1|e1|e2|tri_bits rows
+            p1x, p1y, p1z = g[0:1], g[1:2], g[2:3]           # (1, L)
+            e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
+            e2x, e2y, e2z = g[6:7], g[7:8], g[8:9]
+            tri_row = jax.lax.bitcast_convert_type(g[9:10], jnp.int32)
+            tvx, tvy, tvz = ox - p1x, oy - p1y, oz - p1z
+
+            mdx = e2y * e1z - e2z * e1y
+            mdy = e2z * e1x - e2x * e1z
+            mdz = e2x * e1y - e2y * e1x
+            mux = e2y * tvz - e2z * tvy
+            muy = e2z * tvx - e2x * tvz
+            muz = e2x * tvy - e2y * tvx
+            mvx = tvy * e1z - tvz * e1y
+            mvy = tvz * e1x - tvx * e1z
+            mvz = tvx * e1y - tvy * e1x
+            td_row = e2x * mvx + e2y * mvy + e2z * mvz       # (1, L)
+            td = jnp.transpose(td_row)                       # (L, 1)
+            tri_col = jnp.transpose(tri_row)                 # (L, 1)
+
+            m = jnp.concatenate(                             # (3, 3L)
+                [jnp.concatenate([mdx, mdy, mdz], axis=0),
+                 jnp.concatenate([mux, muy, muz], axis=0),
+                 jnp.concatenate([mvx, mvy, mvz], axis=0)], axis=1)
+            out = jax.lax.dot_general(
+                m, d, (((0,), (0,)), ((), ())),
+                precision=_HP, preferred_element_type=jnp.float32)
+            det = out[0 * leaf:1 * leaf]
+            ud = out[1 * leaf:2 * leaf]
+            vd = out[2 * leaf:3 * leaf]
+
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            ad = det * s
+            uds = ud * s
+            vds = vd * s
+            eps_ad = eps * ad
+            tt = td * pl.reciprocal(det, approx=False)
+            ok = ((ad >= eps) & (uds >= eps_ad) & (vds >= eps_ad)
+                  & (uds + vds <= ad + eps_ad) & (tt >= eps)
+                  & (tri_col >= 0))
+            tt = jnp.where(ok, tt, draw_distance)
+
+            tmin = jnp.min(tt, axis=0, keepdims=True)
+            tri_win = jnp.min(
+                jnp.where(tt <= tmin, tri_col, _I32_MAX),
+                axis=0, keepdims=True)
+
+            better = tmin < out_t_ref[0]
+            out_t_ref[0] = jnp.where(better, tmin, out_t_ref[0])
+            out_tri_ref[0] = jnp.where(better, tri_win, out_tri_ref[0])
+
+        wb = jnp.min(jnp.array([wb, jnp.max(out_t_ref[0])]))
+        snext = sufmin_ref[t, jnp.minimum(k + 1, kmax - 1)]
+        return k + 1, wb, snext
+
+    def cond(carry):
+        k, wb, snext = carry
+        return (k < count) & (snext < wb)
+
+    k_end, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.float32(draw_distance), sufmin_ref[t, 0]))
+
+    # On early exit (k_end < count) one DMA is still in flight — the warmup
+    # copy when the loop never ran, or the body's prefetch of candidate
+    # k_end. Drain it, or the next grid step inherits a signaled semaphore
+    # and the runtime aborts.
+    @pl.when(k_end < count)
+    def _drain():
+        dma(jax.lax.rem(k_end, 2), k_end).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf", "eps", "draw_distance", "interpret"))
+def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
+                             count: jax.Array, boxes: jax.Array,
+                             sufmin: jax.Array, origin: jax.Array,
+                             geom10: jax.Array,
+                             leaf: int, eps: float = MT_EPSILON,
+                             draw_distance: float = 400.0,
+                             interpret: bool = False):
+    """Nearest hit per ray for all tiles, dynamic candidate loop.
+
+    d_tiles: (nT, 3, P); cand: (nT, K) int32 nearest-first; count: (nT,);
+    boxes: (nT, K, 8) candidate AABBs; sufmin: (nT, K) suffix-min of
+    conservative origin->AABB distance; origin: (3,); geom10: (C, 10, L)
+    packed rows p1|e1|e2|tri_bits (slots on the 128-aligned lane dim).
+    Returns (t (nT, P), tri (nT, P)).
+    """
+    n_tiles, _, p = d_tiles.shape
+    kmax = cand.shape[1]
+    ln = geom10.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kmax, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # geometry in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 10, ln), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, eps=eps,
+                               draw_distance=draw_distance, leaf=leaf,
+                               kmax=kmax)
+    out_t, out_tri = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cand, count, sufmin, origin, d_tiles, boxes, geom10)
+    return out_t[:, 0], out_tri[:, 0]

@@ -71,3 +71,34 @@ def test_grid_xla_matches_pallas(setup):
                    accel=accel)
     agree = (np.asarray(out_g.hit_tri) == np.asarray(out_p.hit_tri)).mean()
     assert agree > 0.999, f"agreement {agree}"
+
+
+def test_pallas_v2_matches_fixed_oracle(setup):
+    scene, cam, accel, size = setup
+    dd = max(400.0, 10 * size)
+    out_ref = render(scene, cam, RenderConfig(
+        method="fixed", chunk=256, draw_distance=dd))
+    out_v2 = render(scene, cam, RenderConfig(
+        method="pallas2", leaf_size=32, tile_h=8, tile_w=32,
+        max_candidates=accel[0].num_clusters, draw_distance=dd),
+        accel=accel)
+    ref_tri = np.asarray(out_ref.hit_tri)
+    v2_tri = np.asarray(out_v2.hit_tri)
+    agree = (ref_tri == v2_tri).mean()
+    assert agree > 0.995, f"agreement {agree}"
+    m = (ref_tri >= 0) & (ref_tri == v2_tri)
+    np.testing.assert_allclose(np.asarray(out_v2.hit_t)[m],
+                               np.asarray(out_ref.hit_t)[m],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_v2_limited_candidates(setup):
+    scene, cam, accel, size = setup
+    dd = max(400.0, 10 * size)
+    out_ref = render(scene, cam, RenderConfig(
+        method="fixed", chunk=256, draw_distance=dd))
+    out_v2 = render(scene, cam, RenderConfig(
+        method="pallas2", leaf_size=32, tile_h=8, tile_w=32,
+        max_candidates=16, draw_distance=dd), accel=accel)
+    agree = (np.asarray(out_ref.hit_tri) == np.asarray(out_v2.hit_tri)).mean()
+    assert agree > 0.97, f"agreement {agree}"
