@@ -56,9 +56,10 @@ def build_scene(args):
     config = RenderConfig(method=args.method, leaf_size=args.leaf_size,
                           tile_h=args.tile_h, tile_w=args.tile_w,
                           max_candidates=args.max_candidates,
-                          chunk=args.chunk)
+                          chunk=args.chunk, group_size=args.group_size,
+                          max_groups=args.max_groups)
     accel = None
-    if args.method in ("grid", "pallas", "kd"):
+    if args.method in ("grid", "pallas", "pallas2", "kd"):
         t0 = time.perf_counter()
         accel = (ClusterAccel.build(tris, leaf_size=config.leaf_size),)
         log(f"accel build: {time.perf_counter() - t0:.2f}s "
@@ -109,12 +110,15 @@ def main():
     p.add_argument("--tris", type=int, default=800_000)
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
-    p.add_argument("--method", default="pallas")
+    p.add_argument("--method", default="pallas2")
     p.add_argument("--leaf-size", type=int, default=128)
-    p.add_argument("--tile-h", type=int, default=8)
-    p.add_argument("--tile-w", type=int, default=128)
+    p.add_argument("--tile-h", type=int, default=16)
+    p.add_argument("--tile-w", type=int, default=64)
     p.add_argument("--max-candidates", type=int, default=48)
     p.add_argument("--chunk", type=int, default=2048)
+    p.add_argument("--group-size", type=int, default=32)
+    p.add_argument("--max-groups", type=int, default=0,
+                   help="two-level cull: groups per tile (0 = flat cull)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--quick", action="store_true",
                    help="small smoke-test configuration")

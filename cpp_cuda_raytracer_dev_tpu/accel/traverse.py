@@ -265,6 +265,55 @@ def cull_tiles(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
     return jax.vmap(per_tile)(tiles)
 
 
+def cull_tiles_hier(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
+                    th: int, tw: int, k: int, group: int, kg: int):
+    """Two-level frustum cull: groups of `group` consecutive clusters (KD
+    leaf order => spatially coherent) are tested first; only the nearest
+    `kg` visible groups have their member clusters tested. Same contract as
+    `cull_tiles`, per-tile cost O(C/group + kg*group) instead of O(C).
+    """
+    c = accel.num_clusters
+    pad = (-c) % group
+    big = jnp.float32(3.0e38)
+    gmin = jnp.concatenate(
+        [accel.bounds_min, jnp.full((pad, 3), big)]) if pad \
+        else accel.bounds_min
+    gmax = jnp.concatenate(
+        [accel.bounds_max, jnp.full((pad, 3), -big)]) if pad \
+        else accel.bounds_max
+    ng = gmin.shape[0] // group
+    gb_min = gmin.reshape(ng, group, 3).min(axis=1)       # (G, 3)
+    gb_max = gmax.reshape(ng, group, 3).max(axis=1)
+    kg = min(kg, ng)
+
+    def per_tile(tile_d):
+        gvis, gnear = _tile_frustum_visible(o, tile_d, gb_min, gb_max,
+                                            th, tw)
+        gkey = jnp.where(gvis, gnear, jnp.inf)
+        _, gsel = jax.lax.top_k(-gkey, kg)                # (kg,)
+        gsel_valid = jnp.take(gvis, gsel)
+
+        cl = (gsel[:, None] * group
+              + jnp.arange(group, dtype=jnp.int32)[None, :]).reshape(-1)
+        cl = jnp.minimum(cl, c - 1)                       # clamp pad tail
+        cb_min = jnp.take(accel.bounds_min, cl, axis=0)
+        cb_max = jnp.take(accel.bounds_max, cl, axis=0)
+        visible, tnear = _tile_frustum_visible(o, tile_d, cb_min, cb_max,
+                                               th, tw)
+        in_range = (gsel[:, None] * group
+                    + jnp.arange(group, dtype=jnp.int32)[None, :]
+                    ).reshape(-1) < c
+        visible = visible & in_range & jnp.repeat(gsel_valid, group)
+        key = jnp.where(visible, tnear, jnp.inf)
+        _, sel = jax.lax.top_k(-key, k)                   # (k,) into cl
+        cand = jnp.take(cl, sel)
+        nvis = jnp.sum(visible.astype(jnp.int32))
+        return (cand.astype(jnp.int32), jnp.minimum(nvis, k),
+                jnp.maximum(nvis - k, 0))
+
+    return jax.vmap(per_tile)(tiles)
+
+
 def intersect_clustered_pallas(o: jax.Array, d: jax.Array,
                                accel: ClusterAccel, config: RenderConfig,
                                res_h: int, res_w: int,
@@ -280,7 +329,12 @@ def intersect_clustered_pallas(o: jax.Array, d: jax.Array,
     k = min(config.max_candidates, accel.num_clusters)
 
     tiles, meta = _tile_rays(d, res_h, res_w, th, tw)       # (nT, P, 3)
-    cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k)
+    if config.max_groups > 0:
+        cand, count, _overflow = cull_tiles_hier(
+            o, tiles, accel, th, tw, k, config.group_size,
+            config.max_groups)
+    else:
+        cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k)
     d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
     # candidate AABBs gathered per tile: tiny (nT, K, 8) array the kernel
     # keeps resident for its per-step slab tests
@@ -315,7 +369,12 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     k = min(config.max_candidates, accel.num_clusters)
 
     tiles, meta = _tile_rays(d, res_h, res_w, th, tw)       # (nT, P, 3)
-    cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k)
+    if config.max_groups > 0:
+        cand, count, _overflow = cull_tiles_hier(
+            o, tiles, accel, th, tw, k, config.group_size,
+            config.max_groups)
+    else:
+        cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k)
     d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
 
     box8 = jnp.concatenate(

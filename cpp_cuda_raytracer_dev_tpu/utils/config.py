@@ -37,3 +37,9 @@ class RenderConfig:
     tile_w: int = 128
     # Max candidate clusters per tile after culling (static shape bound).
     max_candidates: int = 48
+    # Two-level cull: pre-select `max_groups` groups of `group_size`
+    # consecutive clusters (KD order => spatially coherent) per tile before
+    # the cluster-level test — turns the per-tile O(C) cull into
+    # O(C/group_size + max_groups*group_size). 0 = flat single-level cull.
+    group_size: int = 32
+    max_groups: int = 0

@@ -102,3 +102,16 @@ def test_pallas_v2_limited_candidates(setup):
         max_candidates=16, draw_distance=dd), accel=accel)
     agree = (np.asarray(out_ref.hit_tri) == np.asarray(out_v2.hit_tri)).mean()
     assert agree > 0.97, f"agreement {agree}"
+
+
+def test_hier_cull_matches_flat(setup):
+    scene, cam, accel, size = setup
+    dd = max(400.0, 10 * size)
+    base = dict(method="pallas2", leaf_size=32, tile_h=8, tile_w=32,
+                max_candidates=24, draw_distance=dd)
+    out_flat = render(scene, cam, RenderConfig(**base), accel=accel)
+    out_hier = render(scene, cam, RenderConfig(
+        **base, group_size=4, max_groups=8), accel=accel)
+    agree = (np.asarray(out_flat.hit_tri)
+             == np.asarray(out_hier.hit_tri)).mean()
+    assert agree > 0.99, f"agreement {agree}"
