@@ -16,22 +16,27 @@ import jax.numpy as jnp
 from ..ops.intersect import Hit
 
 
+_I32_MAX = 2**31 - 1
+
+
 def allreduce_nearest_hit(hit: Hit, axis_name: str) -> Hit:
     """Global nearest hit across an axis of primitive shards.
 
-    Two cheap collectives: min-reduce the distances, then max-reduce the
-    payload of whichever shard(s) achieved the minimum (ties resolve to the
-    larger packed payload, which is deterministic).
+    Three staged pmins, all int32/f32 (an int64 pack would silently
+    truncate under JAX's default x64-off config and overflow past 2^11
+    triangles): min-reduce the distances, then among the achieving shards
+    min-reduce the triangle index (ties across shards resolve to the
+    smallest tri — matching the single-device chunk-scan order of
+    `mt_fixed_origin`/`Hit.merge`), then the object index of that winner.
     """
     tmin = jax.lax.pmin(hit.t, axis_name)
-    mine = hit.t <= tmin
-    payload = jnp.where(mine,
-                        (hit.tri.astype(jnp.int64) << 20)
-                        | (hit.obj.astype(jnp.int64) & 0xFFFFF),
-                        jnp.int64(-1) << 40)
-    payload = jax.lax.pmax(payload, axis_name)
-    miss = payload < 0
-    tri = jnp.where(miss, jnp.int64(-1), payload >> 20).astype(jnp.int32)
-    obj = jnp.where(miss, jnp.int64(-1),
-                    payload & 0xFFFFF).astype(jnp.int32)
-    return Hit(t=tmin, tri=tri, obj=obj)
+    mine = (hit.t <= tmin) & (hit.tri >= 0)
+    tri_win = jax.lax.pmin(
+        jnp.where(mine, hit.tri, _I32_MAX), axis_name)
+    winner = mine & (hit.tri == tri_win)
+    obj_win = jax.lax.pmin(
+        jnp.where(winner, hit.obj, _I32_MAX), axis_name)
+    miss = tri_win == _I32_MAX
+    return Hit(t=tmin,
+               tri=jnp.where(miss, jnp.int32(-1), tri_win),
+               obj=jnp.where(miss, jnp.int32(-1), obj_win))

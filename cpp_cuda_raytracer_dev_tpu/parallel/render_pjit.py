@@ -61,6 +61,81 @@ def render_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     return RenderOutput(**out)
 
 
+def render_sharded_2d(scene: Scene, camera: Camera, config: RenderConfig,
+                      mesh: Mesh) -> RenderOutput:
+    """Forward frame on a 2-D ("rays", "prims") mesh: image rows sharded
+    over "rays" AND each object's triangle range sharded over "prims".
+
+    Every prim shard intersects only its own contiguous triangle range
+    (the matmul-form fixed-origin path), the per-ray nearest hit is
+    min-combined across the prim axis (`allreduce_nearest_hit` — two ICI
+    collectives), and shading runs on the combined hit. This is the
+    pod-scale generalization of the reference's per-thread nearest-hit
+    select (Trixel.cu:127-142); see SURVEY.md §5 "long-context analogue".
+    """
+    from ..models.renderer import shade_hits
+    from ..models.scene import Triangles
+    from ..ops.intersect import FixedOriginCache, Hit, mt_fixed_origin
+    from ..ops.shade import compose_framebuffer
+    from .collectives import allreduce_nearest_hit
+    from .mesh import PRIMS_AXIS
+
+    band_h = _check_band(camera, mesh, config)
+    nprims = mesh.shape[PRIMS_AXIS]
+    res_w = camera.res_w
+    rmd = camera.ray_directions().reshape(camera.res_h, res_w, 3)
+
+    def shard_tris(tris: Triangles, pi):
+        """Contiguous range [pi*chunk, (pi+1)*chunk) of (padded) slots."""
+        t = tris.num_triangles
+        chunk = -(-t // nprims)
+        pad = chunk * nprims - t
+
+        def cut(x):
+            fill = jnp.zeros((pad,) + x.shape[1:], x.dtype)
+            return jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate([x, fill]), pi * chunk, chunk)
+
+        return jax.tree.map(cut, tris), chunk
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(RAYS_AXIS, None, None)),
+             out_specs=P(RAYS_AXIS),
+             check_rep=False)
+    def worker(scene_, origin, band):
+        pi = jax.lax.axis_index(PRIMS_AXIS)
+        d_flat = band.reshape(-1, 3)
+        best = Hit.miss(d_flat.shape[0], config.draw_distance)
+        for oi, obj in enumerate(scene_.objects):
+            d_obj = obj.pose.inv_apply_vec(d_flat)
+            o_obj = obj.pose.inv_apply(origin)
+            sub, chunk = shard_tris(obj.tris, pi)
+            cache = FixedOriginCache.build(o_obj, sub)
+            hit = mt_fixed_origin(d_obj, cache, config.draw_distance,
+                                  config.eps, config.chunk)
+            hit = hit.replace(
+                tri=jnp.where(hit.tri >= 0, hit.tri + pi * chunk, -1),
+                obj=jnp.where(hit.tri >= 0, jnp.int32(oi), jnp.int32(-1)))
+            best = best.merge(hit)
+        best = allreduce_nearest_hit(best, PRIMS_AXIS)
+        best = jax.lax.stop_gradient(best)
+        radiance, normal, point, hit_mask = shade_hits(
+            scene_, origin, d_flat, best, config)
+        image = compose_framebuffer(radiance, hit_mask,
+                                    config.background_rgb)
+        flat = dict(
+            image=image,
+            radiance=jnp.where(hit_mask[..., None], radiance, 0.0),
+            hit_t=best.t, hit_tri=best.tri, hit_obj=best.obj,
+            normal=normal, point=point,
+        )
+        return jax.tree.map(
+            lambda x: x.reshape(band_h, res_w, *x.shape[1:]), flat)
+
+    out = worker(scene, camera.pos, rmd)
+    return RenderOutput(**out)
+
+
 def radiance_sharded(scene: Scene, camera: Camera, config: RenderConfig,
                      mesh: Mesh, accel=None) -> jax.Array:
     """Differentiable sharded radiance image (H, W, 3) — the loss input."""

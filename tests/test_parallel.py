@@ -106,3 +106,16 @@ def test_allreduce_nearest_hit():
     assert ct[0, 3] == 0.5 and ctri[0, 3] == 1103
     assert ct[0, 0] == 10.0 and ctri[0, 0] == 100
     assert ctri[0, 7] == -1 and ct[0, 7] == 400.0
+
+
+def test_prims_sharded_render_matches_single(scene, camera):
+    from cpp_cuda_raytracer_dev_tpu.parallel.render_pjit import (
+        render_sharded_2d)
+    m = pmesh.make_mesh(8, prims=4)          # 2 ray bands x 4 prim shards
+    out_s = render_sharded_2d(scene, camera, CFG, m)
+    out_1 = render(scene, camera, CFG)
+    np.testing.assert_array_equal(np.asarray(out_s.hit_tri),
+                                  np.asarray(out_1.hit_tri))
+    np.testing.assert_allclose(np.asarray(out_s.radiance),
+                               np.asarray(out_1.radiance),
+                               rtol=1e-5, atol=1e-6)
