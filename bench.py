@@ -134,6 +134,24 @@ def main():
     import jax.numpy as jnp
 
     log(f"devices: {jax.devices()}")
+
+    # The remote-chip tunnel can wedge (see .claude/skills/verify): a tiny
+    # device op that doesn't land within 3 minutes means every later call
+    # would hang forever. Fail fast with a diagnostic line instead.
+    import threading
+    probe_ok = threading.Event()
+
+    def _probe():
+        jax.block_until_ready(jnp.ones((8,)) * 2.0)
+        probe_ok.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not probe_ok.wait(timeout=180.0):
+        print(json.dumps({
+            "metric": "device probe failed (TPU tunnel wedged)",
+            "value": 0, "unit": "rays/s", "vs_baseline": 0.0}))
+        import os
+        os._exit(3)
     scene, camera, config, accel, num_tris = build_scene(args)
     num_rays = camera.res_w * camera.res_h
 
