@@ -143,8 +143,13 @@ def render_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
     """
     from ..ops.shade import compose_framebuffer
 
-    hit = jax.lax.stop_gradient(
-        trace_rays(scene, origin, rmd, config, accel, band_h, band_w))
+    # Tangents are stopped at the traversal *inputs*, not just its output:
+    # hit topology is non-differentiable by design (SURVEY.md §7 step 5),
+    # and the Pallas intersection kernels define no JVP rule — inputs with
+    # tangents would make jax.grad's linearization fail on pallas_call.
+    sg = jax.lax.stop_gradient
+    hit = trace_rays(sg(scene), sg(origin), sg(rmd), config,
+                     sg(accel), band_h, band_w)
     radiance, normal, point, hit_mask = shade_hits(
         scene, origin, rmd, hit, config)
     image = compose_framebuffer(radiance, hit_mask, config.background_rgb)

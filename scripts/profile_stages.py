@@ -39,7 +39,7 @@ def main():
     jax.block_until_ready(jnp.ones((8,)))
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     w, h = 960, 540
-    th, tw, K = 16, 64, 48
+    th, tw, K = 32, 32, 48
     tv = dragon_class_mesh(n_tris)
     tris = Triangles.from_vertices(tv)
     scene = Scene.create([SceneObject.create(tris)])
@@ -50,7 +50,7 @@ def main():
     jax.block_until_ready(accel.geom_t)
     log(f"accel: {accel.num_clusters} clusters {time.perf_counter()-t0:.1f}s")
     cfg = RenderConfig(method="pallas2", leaf_size=128, tile_h=th,
-                       tile_w=tw, max_candidates=K)
+                       tile_w=tw, max_candidates=K, max_groups=24)
 
     rmd = jnp.asarray(camera.ray_directions())
     o = jnp.asarray(camera.pos)
@@ -62,7 +62,8 @@ def main():
     # stage: tile + cull
     def cull(o_, d_):
         tiles, meta = traverse._tile_rays(d_, h, w, th, tw)
-        return traverse.cull_tiles(o_, tiles, accel, th, tw, K)
+        return traverse.cull_tiles_hier(o_, tiles, accel, th, tw, K,
+                                        cfg.group_size, cfg.max_groups)
     cullj = jax.jit(cull)
     log(f"cull:        {timed(cullj, o, rmd)*1e3:7.2f} ms")
 

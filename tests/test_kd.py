@@ -82,3 +82,26 @@ def test_cluster_accel_structure(tester_mesh):
     mask = ids >= 0
     np.testing.assert_allclose(np.asarray(accel.p1)[mask],
                                np.asarray(tris.p1)[ids[mask]])
+
+
+def test_kd_disk_cache_roundtrip(tmp_path):
+    import numpy as np
+    from cpp_cuda_raytracer_dev_tpu.accel.kd_build import build_kd
+    from cpp_cuda_raytracer_dev_tpu.utils import cache
+
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.01, 0.2, (64, 3)).astype(np.float32)
+    t1 = cache.build_kd_cached(lo, hi, min_node_size=4,
+                               cache_dir=str(tmp_path))
+    t2 = cache.build_kd_cached(lo, hi, min_node_size=4,
+                               cache_dir=str(tmp_path))  # cache hit
+    ref = build_kd(lo, hi, min_node_size=4)
+    for f in ("bounds_min", "bounds_max", "cut_code", "s1", "s2", "left",
+              "right", "parent", "leaf_start", "leaf_count", "perm"):
+        np.testing.assert_array_equal(getattr(t2, f), getattr(ref, f))
+        np.testing.assert_array_equal(getattr(t1, f), getattr(ref, f))
+    # a different build parameter keys a different entry
+    t3 = cache.build_kd_cached(lo, hi, min_node_size=8,
+                               cache_dir=str(tmp_path))
+    assert t3.num_leaves != t2.num_leaves or t3.min_node_size == 8

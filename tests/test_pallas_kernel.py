@@ -115,3 +115,23 @@ def test_hier_cull_matches_flat(setup):
     agree = (np.asarray(out_flat.hit_tri)
              == np.asarray(out_hier.hit_tri)).mean()
     assert agree > 0.99, f"agreement {agree}"
+
+
+def test_grad_flows_through_pallas_render(setup):
+    """jax.grad must work with the pallas traversal in the forward pass:
+    tangents are stopped at the traversal inputs (pallas_call has no JVP
+    rule), while the shading path stays differentiable."""
+    import jax
+    import jax.numpy as jnp
+    scene, cam, accel, size = setup
+    dd = max(400.0, 10 * size)
+    cfg = RenderConfig(method="pallas2", leaf_size=32, tile_h=8, tile_w=32,
+                       max_candidates=16, draw_distance=dd)
+
+    def loss(s):
+        return jnp.mean(render(s, cam, cfg, accel).radiance)
+
+    g = jax.grad(loss)(scene)
+    leaves = [np.abs(np.asarray(x)).max()
+              for x in jax.tree.leaves(g.phong)]
+    assert np.isfinite(leaves).all() and max(leaves) > 0
