@@ -386,15 +386,17 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     # conservative lower bound on any hit t inside each candidate (unit
     # dirs => t >= Euclidean distance from origin to the AABB), then the
     # suffix-min over the nearest-first candidate order — the kernel's
-    # loop-exit certificate
+    # loop-exit certificate, packed into boxes column 6 (SMEM is too small
+    # to prefetch a (tiles, K) array at fine tile sizes)
     gap = jnp.maximum(jnp.maximum(accel.bounds_min - o[None, :],
                                   o[None, :] - accel.bounds_max), 0.0)
     dist_c = jnp.sqrt(jnp.sum(gap * gap, axis=-1))          # (C,)
     dist = jnp.take(dist_c, cand.reshape(-1)).reshape(cand.shape)
     kk = jnp.arange(k, dtype=jnp.int32)[None, :]
-    dist = jnp.where(kk < count[:, None], dist, jnp.inf)
+    dist = jnp.where(kk < count[:, None], dist, jnp.float32(3.0e38))
     sufmin = jnp.flip(
         jax.lax.cummin(jnp.flip(dist, axis=1), axis=1), axis=1)
+    boxes = boxes.at[:, :, 6].set(sufmin)
 
     geom10 = jnp.concatenate(
         [accel.geom_t,
@@ -409,8 +411,10 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
             jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32))
         geom10 = jnp.concatenate([geom10, fill], axis=2)
 
+    root = jnp.concatenate([o, jnp.min(accel.bounds_min, axis=0),
+                            jnp.max(accel.bounds_max, axis=0)])  # (9,)
     t_tiles, tri_tiles = pallas_tile_intersect_v2(
-        d_tiles, cand, count, boxes, sufmin, o, geom10,
+        d_tiles, cand, count, boxes, root, geom10,
         leaf=geom10.shape[2], eps=config.eps,
         draw_distance=config.draw_distance, interpret=interpret)
 

@@ -106,13 +106,18 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
     normal = jnp.zeros((num_r, 3), jnp.float32)
     point = jnp.zeros((num_r, 3), jnp.float32)
 
+    import os
+
+    from ..ops.gather import gather_rows
+    if os.environ.get("RAYTPU_SORTED_SCATTER", "1") == "0":
+        gather_rows = lambda tables, idx: tuple(  # noqa: E731
+            jnp.take(t, idx, axis=0) for t in tables)
+
     for oi, obj in enumerate(scene.objects):
         mask = (hit.obj == oi) & (hit.tri >= 0)
-        p1 = obj.tris.p1[tri_idx]
-        e1 = obj.tris.e1[tri_idx]
-        e2 = obj.tris.e2[tri_idx]
-        n_obj = obj.tris.n[tri_idx]
-        color = obj.tris.color[tri_idx]
+        p1, e1, e2, n_obj, color = gather_rows(
+            (obj.tris.p1, obj.tris.e1, obj.tris.e2, obj.tris.n,
+             obj.tris.color), tri_idx)
 
         d_obj = obj.pose.inv_apply_vec(rmd)
         o_obj = obj.pose.inv_apply(origin)

@@ -41,7 +41,7 @@ _HP = jax.lax.Precision.HIGHEST
 _I32_MAX = 2**31 - 1
 
 
-def _kernel(cand_ref, count_ref, sufmin_ref, origin_ref,   # scalar prefetch
+def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
             d_ref, box_ref, geom_hbm,                      # blocks / HBM
             out_t_ref, out_tri_ref,                        # outputs
             geom_vmem, sem,                                # scratch
@@ -58,9 +58,33 @@ def _kernel(cand_ref, count_ref, sufmin_ref, origin_ref,   # scalar prefetch
                     jnp.where(d < 0, -1e-30, 1e-30), d)
     inv = pl.reciprocal(dsf, approx=False)                 # (3, P)
 
+    # Per-ray hit-distance bound: a ray can't hit anything past its exit
+    # from the scene's root AABB (origin_ref[3:9] = root bmin|bmax), and a
+    # ray that misses the root box entirely can't hit at all (bound 0).
+    # Without this, every tile touching background rays keeps best_t at
+    # draw_distance and scans its whole candidate list.
+    rt_ax = (origin_ref[3] - ox) * inv[0:1]
+    rt_bx = (origin_ref[6] - ox) * inv[0:1]
+    rt_ay = (origin_ref[4] - oy) * inv[1:2]
+    rt_by = (origin_ref[7] - oy) * inv[1:2]
+    rt_az = (origin_ref[5] - oz) * inv[2:3]
+    rt_bz = (origin_ref[8] - oz) * inv[2:3]
+    r_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(rt_ax, rt_bx), jnp.minimum(rt_ay, rt_by)),
+        jnp.minimum(rt_az, rt_bz))
+    r_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(rt_ax, rt_bx), jnp.maximum(rt_ay, rt_by)),
+        jnp.maximum(rt_az, rt_bz))
+    root_hit = (r_far >= jnp.maximum(r_near, 0.0) - 1e-4)
+    bound = jnp.where(root_hit, r_far + 1e-3, 0.0)
+    bound = jnp.minimum(bound, draw_distance)              # (1, P)
+
     def dma(slot, k):
+        # cand rides SMEM flattened 1-D: 2-D SMEM rows are padded to 128
+        # lanes, which blew the 1 MiB budget at fine tile sizes
         return pltpu.make_async_copy(
-            geom_hbm.at[cand_ref[t, k]], geom_vmem.at[slot], sem.at[slot])
+            geom_hbm.at[cand_ref[t * kmax + k]], geom_vmem.at[slot],
+            sem.at[slot])
 
     @pl.when(count > 0)
     def _warmup():
@@ -89,7 +113,7 @@ def _kernel(cand_ref, count_ref, sufmin_ref, origin_ref,   # scalar prefetch
         t_far = jnp.minimum(
             jnp.minimum(jnp.maximum(ta_x, tb_x), jnp.maximum(ta_y, tb_y)),
             jnp.maximum(ta_z, tb_z))
-        best = out_t_ref[0]                                # (1, P)
+        best = jnp.minimum(out_t_ref[0], bound)            # (1, P)
         box_ok = ((t_far >= jnp.maximum(t_near, 0.0) - 1e-4)
                   & (t_near < best))
 
@@ -152,8 +176,12 @@ def _kernel(cand_ref, count_ref, sufmin_ref, origin_ref,   # scalar prefetch
             out_t_ref[0] = jnp.where(better, tmin, out_t_ref[0])
             out_tri_ref[0] = jnp.where(better, tri_win, out_tri_ref[0])
 
-        wb = jnp.min(jnp.array([wb, jnp.max(out_t_ref[0])]))
-        snext = sufmin_ref[t, jnp.minimum(k + 1, kmax - 1)]
+        wb = jnp.min(jnp.array(
+            [wb, jnp.max(jnp.minimum(out_t_ref[0], bound))]))
+        # suffix-min certificate rides boxes column 6 (SMEM is only 1 MiB
+        # — prefetching a (tiles, K) f32 there capped the tile count)
+        snext = jnp.max(
+            box_ref[0, pl.ds(jnp.minimum(k + 1, kmax - 1), 1), 6:7])
         return k + 1, wb, snext
 
     def cond(carry):
@@ -162,7 +190,7 @@ def _kernel(cand_ref, count_ref, sufmin_ref, origin_ref,   # scalar prefetch
 
     k_end, _, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jnp.float32(draw_distance), sufmin_ref[t, 0]))
+        (jnp.int32(0), jnp.max(bound), jnp.max(box_ref[0, 0:1, 6:7])))
 
     # On early exit (k_end < count) one DMA is still in flight — the warmup
     # copy when the loop never ran, or the body's prefetch of candidate
@@ -178,16 +206,16 @@ def _kernel(cand_ref, count_ref, sufmin_ref, origin_ref,   # scalar prefetch
     static_argnames=("leaf", "eps", "draw_distance", "interpret"))
 def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
                              count: jax.Array, boxes: jax.Array,
-                             sufmin: jax.Array, origin: jax.Array,
-                             geom10: jax.Array,
+                             origin: jax.Array, geom10: jax.Array,
                              leaf: int, eps: float = MT_EPSILON,
                              draw_distance: float = 400.0,
                              interpret: bool = False):
     """Nearest hit per ray for all tiles, dynamic candidate loop.
 
     d_tiles: (nT, 3, P); cand: (nT, K) int32 nearest-first; count: (nT,);
-    boxes: (nT, K, 8) candidate AABBs; sufmin: (nT, K) suffix-min of
-    conservative origin->AABB distance; origin: (3,); geom10: (C, 10, L)
+    boxes: (nT, K, 8) candidate AABBs (cols 0-5) with the suffix-min
+    conservative origin->AABB distance in col 6 (the loop-exit
+    certificate); origin9: (9,) = origin|root_bmin|root_bmax; geom10: (C, 10, L)
     packed rows p1|e1|e2|tri_bits (slots on the 128-aligned lane dim).
     Returns (t (nT, P), tri (nT, P)).
     """
@@ -196,7 +224,7 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
     ln = geom10.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0),
@@ -227,5 +255,5 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
         ],
         interpret=interpret,
-    )(cand, count, sufmin, origin, d_tiles, boxes, geom10)
+    )(cand.reshape(-1), count, origin, d_tiles, boxes, geom10)
     return out_t[:, 0], out_tri[:, 0]
