@@ -413,15 +413,18 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
 
     root = jnp.concatenate([o, jnp.min(accel.bounds_min, axis=0),
                             jnp.max(accel.bounds_max, axis=0)])  # (9,)
-    t_tiles, tri_tiles = pallas_tile_intersect_v2(
+    t_tiles, tri_tiles, steps = pallas_tile_intersect_v2(
         d_tiles, cand, count, boxes, root, geom10,
         leaf=geom10.shape[2], eps=config.eps,
         draw_distance=config.draw_distance, interpret=interpret)
 
     t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
     tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)
-    return Hit(t=t_flat, tri=tri_flat,
-               obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
+    hit = Hit(t=t_flat, tri=tri_flat,
+              obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
+    if config.with_stats:
+        return hit, {"steps": steps, "count": count}
+    return hit
 
 
 class KDTables(struct.PyTreeNode):

@@ -68,7 +68,7 @@ def main(argv=None):
                           max_candidates=args.max_candidates,
                           draw_distance=max(400.0, 10 * size))
     accel = None
-    if args.method in ("grid", "pallas"):
+    if args.method in ("grid", "pallas", "pallas2"):
         accel = tuple(ClusterAccel.build(o.tris, args.leaf_size)
                       for o in scene.objects)
 

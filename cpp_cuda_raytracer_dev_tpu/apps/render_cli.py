@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--out", default="frame.png")
     p.add_argument("--res", type=int, nargs=2, default=[960, 540])
     p.add_argument("--method", default="pallas",
-                   choices=["brute", "fixed", "grid", "pallas", "kd"])
+                   choices=["brute", "fixed", "grid", "pallas", "pallas2", "kd"])
     p.add_argument("--leaf-size", type=int, default=64)
     p.add_argument("--max-candidates", type=int, default=48)
     p.add_argument("--pos", type=float, nargs=3, default=None)
@@ -66,7 +66,7 @@ def main(argv=None):
                           draw_distance=max(400.0, 10 * size))
 
     accel = None
-    if args.method in ("grid", "pallas"):
+    if args.method in ("grid", "pallas", "pallas2"):
         t0 = time.perf_counter()
         accel = (ClusterAccel.build(tris, args.leaf_size),)
         print(f"cluster build: {time.perf_counter() - t0:.2f}s "

@@ -43,7 +43,7 @@ _I32_MAX = 2**31 - 1
 
 def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
             d_ref, box_ref, geom_hbm,                      # blocks / HBM
-            out_t_ref, out_tri_ref,                        # outputs
+            out_t_ref, out_tri_ref, out_steps_ref,         # outputs
             geom_vmem, sem,                                # scratch
             *, eps: float, draw_distance: float, leaf: int, kmax: int):
     t = pl.program_id(0)
@@ -191,6 +191,8 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
     k_end, _, _ = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), jnp.max(bound), jnp.max(box_ref[0, 0:1, 6:7])))
+    # dynamic-work telemetry: how many candidates this tile actually scanned
+    out_steps_ref[...] = jnp.full_like(out_steps_ref, k_end)
 
     # On early exit (k_end < count) one DMA is still in flight — the warmup
     # copy when the loop never ran, or the body's prefetch of candidate
@@ -238,6 +240,8 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 10, ln), jnp.float32),
@@ -247,13 +251,14 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
     kernel = functools.partial(_kernel, eps=eps,
                                draw_distance=draw_distance, leaf=leaf,
                                kmax=kmax)
-    out_t, out_tri = pl.pallas_call(
+    out_t, out_tri, out_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
         ],
         interpret=interpret,
     )(cand.reshape(-1), count, origin, d_tiles, boxes, geom10)
-    return out_t[:, 0], out_tri[:, 0]
+    return out_t[:, 0], out_tri[:, 0], out_steps[:, 0, 0]

@@ -43,3 +43,6 @@ class RenderConfig:
     # O(C/group_size + max_groups*group_size). 0 = flat single-level cull.
     group_size: int = 32
     max_groups: int = 0
+    # pallas2 telemetry: also return per-tile dynamic candidate-scan counts
+    # (intersect_clustered_pallas_v2 then returns (Hit, stats)).
+    with_stats: bool = False
