@@ -57,7 +57,8 @@ def build_scene(args):
                           tile_h=args.tile_h, tile_w=args.tile_w,
                           max_candidates=args.max_candidates,
                           chunk=args.chunk, group_size=args.group_size,
-                          max_groups=args.max_groups)
+                          max_groups=args.max_groups,
+                          sub_h=args.sub_h, sub_w=args.sub_w)
     accel = None
     if args.method in ("grid", "pallas", "pallas2", "kd"):
         t0 = time.perf_counter()
@@ -112,12 +113,14 @@ def main():
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--method", default="pallas2")
     p.add_argument("--leaf-size", type=int, default=128)
-    p.add_argument("--tile-h", type=int, default=16)
+    p.add_argument("--tile-h", type=int, default=64)
     p.add_argument("--tile-w", type=int, default=64)
-    p.add_argument("--max-candidates", type=int, default=48)
+    p.add_argument("--max-candidates", type=int, default=64)
+    p.add_argument("--sub-h", type=int, default=16)
+    p.add_argument("--sub-w", type=int, default=32)
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--group-size", type=int, default=32)
-    p.add_argument("--max-groups", type=int, default=0,
+    p.add_argument("--max-groups", type=int, default=24,
                    help="two-level cull: groups per tile (0 = flat cull)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--quick", action="store_true",
@@ -129,6 +132,7 @@ def main():
     if args.quick:
         args.tris, args.width, args.height = 20_000, 256, 256
         args.leaf_size, args.max_candidates, args.iters = 64, 24, 3
+        args.tile_h, args.tile_w, args.sub_h, args.sub_w = 32, 32, 16, 16
 
     import jax
     import jax.numpy as jnp

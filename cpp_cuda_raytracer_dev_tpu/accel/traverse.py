@@ -123,43 +123,73 @@ class ClusterAccel(struct.PyTreeNode):
         )
 
 
-def _tile_rays(d: jax.Array, res_h: int, res_w: int, th: int, tw: int):
-    """(R, 3) row-major rays -> (nT, P, 3) tiles + untile metadata."""
+def _tile_rays(d: jax.Array, res_h: int, res_w: int, th: int, tw: int,
+               sh: int = 0, sw: int = 0):
+    """(R, 3) row-major rays -> (nT, P, 3) tiles + untile metadata.
+
+    With sh/sw set, rays within a tile are ordered sub-tile-major: each
+    (sh, sw) sub-tile occupies a contiguous run of the P axis (so kernels
+    can predicate work per sub-tile on contiguous lane slices)."""
     hp = (-res_h) % th
     wp = (-res_w) % tw
     img = d.reshape(res_h, res_w, 3)
     if hp or wp:
         img = jnp.pad(img, ((0, hp), (0, wp), (0, 0)), mode="edge")
     h2, w2 = res_h + hp, res_w + wp
-    tiles = (img.reshape(h2 // th, th, w2 // tw, tw, 3)
-             .transpose(0, 2, 1, 3, 4)
-             .reshape(-1, th * tw, 3))
-    return tiles, (h2, w2, th, tw, hp, wp)
+    if sh and sw and (sh, sw) != (th, tw):
+        tiles = (img.reshape(h2 // th, th // sh, sh, w2 // tw, tw // sw, sw,
+                             3)
+                 .transpose(0, 3, 1, 4, 2, 5, 6)
+                 .reshape(-1, th * tw, 3))
+    else:
+        sh, sw = 0, 0
+        tiles = (img.reshape(h2 // th, th, w2 // tw, tw, 3)
+                 .transpose(0, 2, 1, 3, 4)
+                 .reshape(-1, th * tw, 3))
+    return tiles, (h2, w2, th, tw, hp, wp, sh, sw)
 
 
 def _untile(x: jax.Array, meta, res_h: int, res_w: int):
-    h2, w2, th, tw, hp, wp = meta
-    full = (x.reshape(h2 // th, w2 // tw, th, tw, *x.shape[2:])
-            .transpose(0, 2, 1, 3, *range(4, x.ndim + 1)))
-    full = full.reshape(h2, w2, *x.shape[2:])
+    h2, w2, th, tw, hp, wp, sh, sw = meta
+    tail = x.shape[2:]
+    if sh and sw:
+        full = (x.reshape(h2 // th, w2 // tw, th // sh, tw // sw, sh, sw,
+                          *tail)
+                .transpose(0, 2, 4, 1, 3, 5, *range(6, x.ndim + 2)))
+    else:
+        full = (x.reshape(h2 // th, w2 // tw, th, tw, *tail)
+                .transpose(0, 2, 1, 3, *range(4, x.ndim + 1)))
+    full = full.reshape(h2, w2, *tail)
     return full[:res_h, :res_w]
+
+
+def _corner_idx(th: int, tw: int, sh: int = 0, sw: int = 0):
+    """P-axis positions of the tile's 4 corner rays (00, 01, 10, 11) under
+    row-major or sub-tile-major ray ordering (see _tile_rays)."""
+    if not (sh and sw):
+        return 0, tw - 1, (th - 1) * tw, th * tw - 1
+    sub = sh * sw
+    c01 = (tw // sw - 1) * sub + (sw - 1)
+    c10 = (th // sh - 1) * (tw // sw) * sub + (sh - 1) * sw
+    return 0, c01, c10, th * tw - 1
 
 
 def _tile_frustum_visible(o: jax.Array, tile_dirs: jax.Array,
                           bmin: jax.Array, bmax: jax.Array,
-                          th: int, tw: int):
+                          th: int, tw: int, sh: int = 0, sw: int = 0):
     """Visibility of each cluster AABB from one tile's ray cone.
 
-    tile_dirs: (P, 3) with P = th*tw, row-major within the tile. Directions
-    are affine in pixel coords, so the 4 corner rays bound the cone; each
-    frustum side plane passes through the origin.
+    tile_dirs: (P, 3) with P = th*tw (row-major or sub-tile-major within
+    the tile). Directions are affine in pixel coords, so the 4 corner rays
+    bound the cone; each frustum side plane passes through the origin.
     Returns (visible (C,), tnear (C,)).
     """
     p = tile_dirs
-    c00 = p[0]
-    c01 = p[tw - 1]
-    c10 = p[(th - 1) * tw]
-    c11 = p[th * tw - 1]
+    i00, i01, i10, i11 = _corner_idx(th, tw, sh, sw)
+    c00 = p[i00]
+    c01 = p[i01]
+    c10 = p[i10]
+    c11 = p[i11]
     center = p.mean(axis=0)
     # cyclic order around the cone
     corners = jnp.stack([c00, c01, c11, c10])
@@ -247,7 +277,7 @@ def intersect_clustered(o: jax.Array, d: jax.Array, tris,
 
 
 def cull_tiles(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
-               th: int, tw: int, k: int):
+               th: int, tw: int, k: int, sh: int = 0, sw: int = 0):
     """Frustum-cull every cluster against every tile's ray cone.
 
     tiles: (nT, P, 3). Returns (cand (nT, K) int32 nearest-first,
@@ -255,7 +285,7 @@ def cull_tiles(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
     """
     def per_tile(tile_d):
         visible, tnear = _tile_frustum_visible(
-            o, tile_d, accel.bounds_min, accel.bounds_max, th, tw)
+            o, tile_d, accel.bounds_min, accel.bounds_max, th, tw, sh, sw)
         key = jnp.where(visible, tnear, jnp.inf)
         _, cand = jax.lax.top_k(-key, k)
         nvis = jnp.sum(visible.astype(jnp.int32))
@@ -266,7 +296,8 @@ def cull_tiles(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
 
 
 def cull_tiles_hier(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
-                    th: int, tw: int, k: int, group: int, kg: int):
+                    th: int, tw: int, k: int, group: int, kg: int,
+                    sh: int = 0, sw: int = 0):
     """Two-level frustum cull: groups of `group` consecutive clusters (KD
     leaf order => spatially coherent) are tested first; only the nearest
     `kg` visible groups have their member clusters tested. Same contract as
@@ -288,7 +319,7 @@ def cull_tiles_hier(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
 
     def per_tile(tile_d):
         gvis, gnear = _tile_frustum_visible(o, tile_d, gb_min, gb_max,
-                                            th, tw)
+                                            th, tw, sh, sw)
         gkey = jnp.where(gvis, gnear, jnp.inf)
         _, gsel = jax.lax.top_k(-gkey, kg)                # (kg,)
         gsel_valid = jnp.take(gvis, gsel)
@@ -299,7 +330,7 @@ def cull_tiles_hier(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
         cb_min = jnp.take(accel.bounds_min, cl, axis=0)
         cb_max = jnp.take(accel.bounds_max, cl, axis=0)
         visible, tnear = _tile_frustum_visible(o, tile_d, cb_min, cb_max,
-                                               th, tw)
+                                               th, tw, sh, sw)
         in_range = (gsel[:, None] * group
                     + jnp.arange(group, dtype=jnp.int32)[None, :]
                     ).reshape(-1) < c
@@ -366,15 +397,19 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     th, tw = config.tile_h, config.tile_w
+    sh, sw = config.sub_h, config.sub_w
     k = min(config.max_candidates, accel.num_clusters)
 
-    tiles, meta = _tile_rays(d, res_h, res_w, th, tw)       # (nT, P, 3)
+    tiles, meta = _tile_rays(d, res_h, res_w, th, tw, sh, sw)  # (nT, P, 3)
+    sh, sw = meta[6], meta[7]
+    n_sub = (th // sh) * (tw // sw) if (sh and sw) else 1
     if config.max_groups > 0:
         cand, count, _overflow = cull_tiles_hier(
             o, tiles, accel, th, tw, k, config.group_size,
-            config.max_groups)
+            config.max_groups, sh, sw)
     else:
-        cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k)
+        cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k,
+                                            sh, sw)
     d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
 
     box8 = jnp.concatenate(
@@ -416,14 +451,16 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     t_tiles, tri_tiles, steps = pallas_tile_intersect_v2(
         d_tiles, cand, count, boxes, root, geom10,
         leaf=geom10.shape[2], eps=config.eps,
-        draw_distance=config.draw_distance, interpret=interpret)
+        draw_distance=config.draw_distance, n_sub=n_sub,
+        debug_mode=config.debug_mode, interpret=interpret)
 
     t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
     tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)
     hit = Hit(t=t_flat, tri=tri_flat,
               obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
     if config.with_stats:
-        return hit, {"steps": steps, "count": count}
+        return hit, {"steps": steps[:, 0], "mt_subs": steps[:, 1],
+                     "count": count}
     return hit
 
 

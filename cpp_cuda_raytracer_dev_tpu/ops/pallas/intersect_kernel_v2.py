@@ -17,8 +17,9 @@ the reference's early-terminating ordered KD traversal
     - per candidate the AABB is slab-tested per ray bounded by best_t;
       the Möller–Trumbore block only runs when some ray can improve;
     - cluster geometry (L, 10: p1|e1|e2|tri_bits) is DMA'd HBM->VMEM by
-      hand with two buffers, next candidate prefetched during the current
-      one's compute (double buffering);
+      hand through a depth-_DMA_DEPTH prefetch pipeline (_DMA_NBUF
+      buffers), so each copy is issued several steps of compute before
+      its wait — single-buffering stalled every step on HBM latency;
     - the MT math is identical to gen-1: MXU contraction (3L, 3)x(3, P),
       sign-aware division-free acceptance, masked min + tie-min select.
 
@@ -39,13 +40,18 @@ from ...utils.dtypes import MT_EPSILON
 
 _HP = jax.lax.Precision.HIGHEST
 _I32_MAX = 2**31 - 1
+# Prefetch pipeline: depth (how many steps ahead a copy is issued) and
+# buffer count (must exceed depth so a slot is consumed before reuse).
+_DMA_DEPTH = 4
+_DMA_NBUF = 6
 
 
 def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
             d_ref, box_ref, geom_hbm,                      # blocks / HBM
             out_t_ref, out_tri_ref, out_steps_ref,         # outputs
             geom_vmem, sem,                                # scratch
-            *, eps: float, draw_distance: float, leaf: int, kmax: int):
+            *, eps: float, draw_distance: float, leaf: int, kmax: int,
+            n_sub: int, debug_mode: int):
     t = pl.program_id(0)
     count = count_ref[t]
 
@@ -86,18 +92,24 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
             geom_hbm.at[cand_ref[t * kmax + k]], geom_vmem.at[slot],
             sem.at[slot])
 
-    @pl.when(count > 0)
-    def _warmup():
-        dma(0, 0).start()
+    # Depth-D prefetch pipeline: each candidate's 5 KB copy is issued D
+    # steps before it is consumed. With the old 2-buffer/depth-1 pipeline
+    # the copy was issued only one step's compute (~1-2 us) before the
+    # wait, so every step stalled on HBM latency.
+    for i in range(_DMA_DEPTH):
+        @pl.when(i < count)
+        def _warmup(i=i):
+            dma(i % _DMA_NBUF, i).start()
 
     def body(carry):
-        k, wb, _snext = carry
-        slot = jax.lax.rem(k, 2)
+        k, wb, _snext, nmt = carry
+        slot = jax.lax.rem(k, _DMA_NBUF)
 
-        # prefetch next candidate while this one computes
-        @pl.when(k + 1 < count)
+        # prefetch candidate k+D while this one computes
+        @pl.when(k + _DMA_DEPTH < count)
         def _prefetch():
-            dma(jax.lax.rem(k + 1, 2), k + 1).start()
+            dma(jax.lax.rem(k + _DMA_DEPTH, _DMA_NBUF), k + _DMA_DEPTH
+                ).start()
 
         # slab-test this candidate per ray, bounded by current best
         row = box_ref[0, pl.ds(k, 1), :]                   # (1, 8)
@@ -117,11 +129,16 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
         box_ok = ((t_far >= jnp.maximum(t_near, 0.0) - 1e-4)
                   & (t_near < best))
 
-        # the slot must be consumed before it can be reused two steps on,
-        # so always wait — the copy is tiny and long since landed
+        # the slot must be consumed before it can be reused NBUF steps on,
+        # so always wait — with a depth-4 pipeline the copy landed long ago
         dma(slot, k).wait()
 
-        @pl.when(jnp.any(box_ok))
+        if debug_mode != 2:
+            _mt_gate = jnp.any(box_ok)
+        else:                      # debug: loop/slab/DMA machinery only
+            _mt_gate = (k < -1)
+
+        @pl.when(_mt_gate)
         def _mt():
             # geometry rides (10, L): components on sublanes, slots on
             # lanes — manual DMA requires the trailing dim 128-aligned
@@ -149,32 +166,47 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
                 [jnp.concatenate([mdx, mdy, mdz], axis=0),
                  jnp.concatenate([mux, muy, muz], axis=0),
                  jnp.concatenate([mvx, mvy, mvz], axis=0)], axis=1)
-            out = jax.lax.dot_general(
-                m, d, (((0,), (0,)), ((), ())),
-                precision=_HP, preferred_element_type=jnp.float32)
-            det = out[0 * leaf:1 * leaf]
-            ud = out[1 * leaf:2 * leaf]
-            vd = out[2 * leaf:3 * leaf]
 
-            s = jnp.where(det >= 0.0, 1.0, -1.0)
-            ad = det * s
-            uds = ud * s
-            vds = vd * s
-            eps_ad = eps * ad
-            tt = td * pl.reciprocal(det, approx=False)
-            ok = ((ad >= eps) & (uds >= eps_ad) & (vds >= eps_ad)
-                  & (uds + vds <= ad + eps_ad) & (tt >= eps)
-                  & (tri_col >= 0))
-            tt = jnp.where(ok, tt, draw_distance)
+            # Sub-tile predication: rays arrive sub-tile-major, so each
+            # sub-tile is a contiguous lane slice. Only sub-tiles where
+            # some ray can still improve pay the MT matmul + epilogue —
+            # a candidate cluster near one corner of a 32x32 tile no
+            # longer charges all 1024 rays.
+            sp = d.shape[1] // n_sub
+            for q in range(n_sub):
+                lo, hi = q * sp, (q + 1) * sp
 
-            tmin = jnp.min(tt, axis=0, keepdims=True)
-            tri_win = jnp.min(
-                jnp.where(tt <= tmin, tri_col, _I32_MAX),
-                axis=0, keepdims=True)
+                @pl.when(jnp.any(box_ok[:, lo:hi]))
+                def _mt_sub(lo=lo, hi=hi):
+                    out = jax.lax.dot_general(
+                        m, d[:, lo:hi], (((0,), (0,)), ((), ())),
+                        precision=_HP,
+                        preferred_element_type=jnp.float32)
+                    det = out[0 * leaf:1 * leaf]             # (L, sp)
+                    ud = out[1 * leaf:2 * leaf]
+                    vd = out[2 * leaf:3 * leaf]
 
-            better = tmin < out_t_ref[0]
-            out_t_ref[0] = jnp.where(better, tmin, out_t_ref[0])
-            out_tri_ref[0] = jnp.where(better, tri_win, out_tri_ref[0])
+                    s = jnp.where(det >= 0.0, 1.0, -1.0)
+                    ad = det * s
+                    uds = ud * s
+                    vds = vd * s
+                    eps_ad = eps * ad
+                    tt = td * pl.reciprocal(det, approx=False)
+                    ok = ((ad >= eps) & (uds >= eps_ad) & (vds >= eps_ad)
+                          & (uds + vds <= ad + eps_ad) & (tt >= eps)
+                          & (tri_col >= 0))
+                    tt = jnp.where(ok, tt, draw_distance)
+
+                    tmin = jnp.min(tt, axis=0, keepdims=True)
+                    tri_win = jnp.min(
+                        jnp.where(tt <= tmin, tri_col, _I32_MAX),
+                        axis=0, keepdims=True)
+
+                    cur_t = out_t_ref[0, :, lo:hi]           # (1, sp)
+                    better = tmin < cur_t
+                    out_t_ref[0, :, lo:hi] = jnp.where(better, tmin, cur_t)
+                    out_tri_ref[0, :, lo:hi] = jnp.where(
+                        better, tri_win, out_tri_ref[0, :, lo:hi])
 
         wb = jnp.min(jnp.array(
             [wb, jnp.max(jnp.minimum(out_t_ref[0], bound))]))
@@ -182,35 +214,46 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
         # — prefetching a (tiles, K) f32 there capped the tile count)
         snext = jnp.max(
             box_ref[0, pl.ds(jnp.minimum(k + 1, kmax - 1), 1), 6:7])
-        return k + 1, wb, snext
+        if debug_mode == 1:        # telemetry: count active sub-tiles
+            sp = d.shape[1] // n_sub
+            nmt = nmt + sum(
+                jnp.any(box_ok[:, q * sp:(q + 1) * sp]).astype(jnp.int32)
+                for q in range(n_sub))
+        return k + 1, wb, snext, nmt
 
     def cond(carry):
-        k, wb, snext = carry
+        k, wb, snext, _nmt = carry
         return (k < count) & (snext < wb)
 
-    k_end, _, _ = jax.lax.while_loop(
+    k_end, _, _, n_mt = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jnp.max(bound), jnp.max(box_ref[0, 0:1, 6:7])))
-    # dynamic-work telemetry: how many candidates this tile actually scanned
-    out_steps_ref[...] = jnp.full_like(out_steps_ref, k_end)
+        (jnp.int32(0), jnp.max(bound), jnp.max(box_ref[0, 0:1, 6:7]),
+         jnp.int32(0)))
+    # dynamic-work telemetry: candidates scanned (lane 0) and, in debug
+    # mode 1, MT sub-tile blocks executed (lane 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_steps_ref.shape, 2)
+    out_steps_ref[...] = jnp.where(lane == 1, n_mt, k_end)
 
-    # On early exit (k_end < count) one DMA is still in flight — the warmup
-    # copy when the loop never ran, or the body's prefetch of candidate
-    # k_end. Drain it, or the next grid step inherits a signaled semaphore
-    # and the runtime aborts.
-    @pl.when(k_end < count)
-    def _drain():
-        dma(jax.lax.rem(k_end, 2), k_end).wait()
+    # On early exit (k_end < count), candidates [k_end, min(count, k_end+D))
+    # are still in flight (warmup copies if the loop never ran, or the
+    # body's prefetches). Drain them all, or the next grid step inherits
+    # signaled semaphores and the runtime aborts.
+    for j in range(_DMA_DEPTH):
+        @pl.when(k_end + j < count)
+        def _drain(j=j):
+            dma(jax.lax.rem(k_end + j, _DMA_NBUF), k_end + j).wait()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("leaf", "eps", "draw_distance", "interpret"))
+    static_argnames=("leaf", "eps", "draw_distance", "n_sub", "debug_mode",
+                     "interpret"))
 def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
                              count: jax.Array, boxes: jax.Array,
                              origin: jax.Array, geom10: jax.Array,
                              leaf: int, eps: float = MT_EPSILON,
                              draw_distance: float = 400.0,
+                             n_sub: int = 1, debug_mode: int = 0,
                              interpret: bool = False):
     """Nearest hit per ray for all tiles, dynamic candidate loop.
 
@@ -244,13 +287,16 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 10, ln), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_DMA_NBUF, 10, ln), jnp.float32),
+            pltpu.SemaphoreType.DMA((_DMA_NBUF,)),
         ],
     )
+    if p % n_sub:
+        raise ValueError(f"tile ray count {p} not divisible by n_sub={n_sub}")
     kernel = functools.partial(_kernel, eps=eps,
                                draw_distance=draw_distance, leaf=leaf,
-                               kmax=kmax)
+                               kmax=kmax, n_sub=n_sub,
+                               debug_mode=debug_mode)
     out_t, out_tri, out_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -261,4 +307,4 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
         ],
         interpret=interpret,
     )(cand.reshape(-1), count, origin, d_tiles, boxes, geom10)
-    return out_t[:, 0], out_tri[:, 0], out_steps[:, 0, 0]
+    return out_t[:, 0], out_tri[:, 0], out_steps[:, 0, :2]

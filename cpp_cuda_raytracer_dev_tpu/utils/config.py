@@ -43,6 +43,16 @@ class RenderConfig:
     # O(C/group_size + max_groups*group_size). 0 = flat single-level cull.
     group_size: int = 32
     max_groups: int = 0
+    # pallas2 sub-tile predication: rays within a tile are ordered so each
+    # (sub_h, sub_w) sub-tile is a contiguous lane run; the kernel skips the
+    # Möller–Trumbore epilogue for sub-tiles no ray of which can improve on
+    # the current candidate. 0 = whole-tile granularity. sub_h*sub_w should
+    # be a multiple of 128 (lane slice alignment).
+    sub_h: int = 0
+    sub_w: int = 0
     # pallas2 telemetry: also return per-tile dynamic candidate-scan counts
     # (intersect_clustered_pallas_v2 then returns (Hit, stats)).
     with_stats: bool = False
+    # pallas2 kernel debug: 0 = normal, 1 = count MT sub-tile executions
+    # (stats lane 1), 2 = skip MT entirely (loop/slab/DMA floor).
+    debug_mode: int = 0

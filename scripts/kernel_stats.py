@@ -41,8 +41,11 @@ def main():
                            up=[0., 1., 0.], film_h=0.024, focal=0.055)
     accel = ClusterAccel.build(tris, leaf_size=128)
     jax.block_until_ready(accel.geom_t)
+    sh2 = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    sw2 = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     cfg = RenderConfig(method="pallas2", leaf_size=128, tile_h=th, tile_w=tw,
-                       max_candidates=kk, max_groups=24, with_stats=True)
+                       max_candidates=kk, max_groups=24, with_stats=True,
+                       sub_h=sh2, sub_w=sw2, debug_mode=1)
 
     o = jnp.asarray(camera.pos)
     rmd = jnp.asarray(camera.ray_directions())
@@ -62,7 +65,27 @@ def main():
     log(f"intersect: {dt*1e3:.2f} ms")
 
     steps = np.asarray(stats["steps"])
+    mt_subs = np.asarray(stats["mt_subs"])
     count = np.asarray(stats["count"])
+    n_sub = max((th // sh2) * (tw // sw2) if (sh2 and sw2) else 1, 1)
+    log(f"mt_subs: sum={int(mt_subs.sum())} of steps*n_sub="
+    f"{int(steps.sum())*n_sub} (active frac "
+    f"{mt_subs.sum()/max(steps.sum()*n_sub,1):.2f})")
+
+    # loop/slab/DMA floor: same config with the MT block compiled out
+    cfg2 = RenderConfig(method="pallas2", leaf_size=128, tile_h=th,
+                        tile_w=tw, max_candidates=kk, max_groups=24,
+                        sub_h=sh2, sub_w=sw2, debug_mode=2)
+    fn2 = jax.jit(lambda o_, d_: intersect_clustered_pallas_v2(
+        o_, d_, accel, cfg2, h, w).t)
+    jax.block_until_ready(fn2(o, rmd))
+    jax.block_until_ready(fn2(o, rmd))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out2 = fn2(o, rmd)
+    jax.block_until_ready(out2)
+    log(f"no-MT floor (scans all count): {(time.perf_counter()-t0)/10*1e3:.2f} ms "
+        f"(count-sum {int(count.sum())})")
     tri = np.asarray(hit.tri).reshape(h, w)
     n_tiles = steps.shape[0]
     log(f"tiles={n_tiles} K={kk} tile={th}x{tw}")

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""TPU sweep of pallas2 sub-tile predication configs at dragon scale."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.block_until_ready(jnp.ones((8,)))
+    log("probe ok")
+
+    from cpp_cuda_raytracer_dev_tpu import (Camera, RenderConfig, Scene,
+                                            SceneObject, Triangles)
+    from cpp_cuda_raytracer_dev_tpu.accel.traverse import ClusterAccel
+    from cpp_cuda_raytracer_dev_tpu.models.renderer import render, trace_rays
+    from cpp_cuda_raytracer_dev_tpu.utils.procgen import dragon_class_mesh
+
+    n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    w, h = 960, 540
+    num_rays = w * h
+    tv = dragon_class_mesh(n_tris)
+    tris = Triangles.from_vertices(tv)
+    scene = Scene.create([SceneObject.create(tris)])
+    camera = Camera.create(w, h, pos=[0., 0., -3.], look_at=[0., 0., 0.],
+                           up=[0., 1., 0.], film_h=0.024, focal=0.055)
+    accel = (ClusterAccel.build(tris, leaf_size=128),)
+    jax.block_until_ready(accel[0].geom_t)
+    log("accel ready")
+
+    def bench_cfg(cfg, tag, iters=10):
+        fwd = jax.jit(lambda s, c: render(s, c, cfg, accel).hit_tri)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fwd(scene, camera))
+        cs = time.perf_counter() - t0
+        for _ in range(2):
+            jax.block_until_ready(fwd(scene, camera))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(scene, camera)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        hit = float(jnp.mean((out >= 0).astype(jnp.float32)))
+        log(f"{tag}: {dt*1e3:.2f} ms = {1/dt:.1f} FPS = "
+            f"{num_rays/dt:.3e} rays/s hit={hit:.3f} (compile {cs:.0f}s)")
+        return dt
+
+    sweep = [
+        ("32x32 K48 sub0", dict(tile_h=32, tile_w=32, max_candidates=48,
+                                max_groups=24)),
+        ("32x32 K48 sub16x16", dict(tile_h=32, tile_w=32, max_candidates=48,
+                                    max_groups=24, sub_h=16, sub_w=16)),
+        ("32x32 K48 sub8x16", dict(tile_h=32, tile_w=32, max_candidates=48,
+                                   max_groups=24, sub_h=8, sub_w=16)),
+        ("32x32 K64 sub16x16", dict(tile_h=32, tile_w=32, max_candidates=64,
+                                    max_groups=24, sub_h=16, sub_w=16)),
+        ("64x32 K48 sub16x16", dict(tile_h=64, tile_w=32, max_candidates=48,
+                                    max_groups=24, sub_h=16, sub_w=16)),
+        ("64x64 K64 sub16x16", dict(tile_h=64, tile_w=64, max_candidates=64,
+                                    max_groups=24, sub_h=16, sub_w=16)),
+        ("64x64 K64 sub16x32", dict(tile_h=64, tile_w=64, max_candidates=64,
+                                    max_groups=24, sub_h=16, sub_w=32)),
+    ]
+    results = {}
+    for tag, kw in sweep:
+        try:
+            cfg = RenderConfig(method="pallas2", leaf_size=128, **kw)
+            results[tag] = (bench_cfg(cfg, tag), kw)
+        except Exception as e:
+            log(f"{tag}: FAILED {str(e)[:300]}")
+
+    best_tag = min(results, key=lambda k: results[k][0])
+    log(f"BEST: {best_tag}")
+
+    # oracle check on the best
+    cfg = RenderConfig(method="pallas2", leaf_size=128, **results[best_tag][1])
+    rmd = camera.ray_directions()
+    hit_g = trace_rays(scene, jnp.asarray(camera.pos), jnp.asarray(rmd),
+                       cfg, accel, h, w)
+    idx = np.random.default_rng(0).choice(num_rays, 2048, replace=False)
+    hit_f = trace_rays(scene, jnp.asarray(camera.pos),
+                       jnp.asarray(rmd)[idx],
+                       RenderConfig(method="fixed", chunk=2048))
+    agree = float(np.mean(np.asarray(hit_g.tri)[idx]
+                          == np.asarray(hit_f.tri)))
+    log(f"oracle agreement (best): {agree:.4f}")
+
+
+if __name__ == "__main__":
+    main()

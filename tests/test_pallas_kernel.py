@@ -92,6 +92,25 @@ def test_pallas_v2_matches_fixed_oracle(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_v2_subtile_matches_whole_tile(setup):
+    """Sub-tile predication (contiguous-lane sub-tile ray order + per-sub
+    MT skip) must not change any hit."""
+    scene, cam, accel, size = setup
+    dd = max(400.0, 10 * size)
+    base = render(scene, cam, RenderConfig(
+        method="pallas2", leaf_size=32, tile_h=8, tile_w=32,
+        max_candidates=accel[0].num_clusters, draw_distance=dd),
+        accel=accel)
+    sub = render(scene, cam, RenderConfig(
+        method="pallas2", leaf_size=32, tile_h=8, tile_w=32,
+        max_candidates=accel[0].num_clusters, draw_distance=dd,
+        sub_h=4, sub_w=16), accel=accel)
+    np.testing.assert_array_equal(np.asarray(base.hit_tri),
+                                  np.asarray(sub.hit_tri))
+    np.testing.assert_allclose(np.asarray(sub.hit_t),
+                               np.asarray(base.hit_t), rtol=1e-6)
+
+
 def test_pallas_v2_limited_candidates(setup):
     scene, cam, accel, size = setup
     dd = max(400.0, 10 * size)
