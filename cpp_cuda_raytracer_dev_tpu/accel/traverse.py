@@ -63,6 +63,7 @@ class ClusterAccel(struct.PyTreeNode):
     # host->device transfer of the big array (the tunnel to the TPU is slow;
     # duplicating flat views cost minutes at dragon scale).
     geom_t: jax.Array       # (C, L, 9) float32
+    geom9_t: jax.Array      # (C, 9, Lpad) float32 (v2 kernel DMA layout)
     slot_mat: jax.Array     # (C, L) int32, original tri index, -1 = padding
     leaf_size: int = struct.field(pytree_node=False)
 
@@ -114,10 +115,19 @@ class ClusterAccel(struct.PyTreeNode):
         bmin = tree.bounds_min[leaf_ids]
         bmax = tree.bounds_max[leaf_ids]
         geom_t = np.concatenate([sp1, se1, se2], axis=2)  # (C, L, 9)
+        # v2-kernel layout: components on sublanes, slots on lanes, padded
+        # to a 128-multiple lane count (manual DMA alignment). Built once
+        # here so no per-frame transpose of the big array survives in jit.
+        lpad = (-ln) % 128
+        geom9 = np.transpose(geom_t, (0, 2, 1))           # (C, 9, L)
+        if lpad:
+            geom9 = np.concatenate(
+                [geom9, np.zeros((c, 9, lpad), np.float32)], axis=2)
         return cls(
             bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
             centers=jnp.asarray((bmin + bmax) / 2.0),
             geom_t=jnp.asarray(geom_t),
+            geom9_t=jnp.asarray(geom9),
             slot_mat=jnp.asarray(slot_tri),
             leaf_size=leaf_size,
         )
@@ -433,26 +443,28 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
         jax.lax.cummin(jnp.flip(dist, axis=1), axis=1), axis=1)
     boxes = boxes.at[:, :, 6].set(sufmin)
 
-    geom10 = jnp.concatenate(
-        [accel.geom_t,
-         jax.lax.bitcast_convert_type(accel.slot_mat, jnp.float32)[..., None]],
-        axis=2).transpose(0, 2, 1)                          # (C, 10, L)
-    # manual DMA needs the slot (lane) dim 128-aligned; pad with dead slots
-    # (zero geometry => det==0 reject; tri bits of -1 => masked out)
-    lpad = (-geom10.shape[2]) % 128
-    if lpad:
-        fill = jnp.zeros((geom10.shape[0], 10, lpad), jnp.float32)
-        fill = fill.at[:, 9, :].set(
-            jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32))
-        geom10 = jnp.concatenate([geom10, fill], axis=2)
+    geom9 = accel.geom9_t                               # (C, 9, Lpad)
+    lnp = geom9.shape[2]
 
     root = jnp.concatenate([o, jnp.min(accel.bounds_min, axis=0),
                             jnp.max(accel.bounds_max, axis=0)])  # (9,)
-    t_tiles, tri_tiles, steps = pallas_tile_intersect_v2(
-        d_tiles, cand, count, boxes, root, geom10,
-        leaf=geom10.shape[2], eps=config.eps,
+    t_tiles, enc_tiles, steps = pallas_tile_intersect_v2(
+        d_tiles, cand, count, boxes, root, geom9,
+        leaf=lnp, eps=config.eps,
         draw_distance=config.draw_distance, n_sub=n_sub,
-        debug_mode=config.debug_mode, interpret=interpret)
+        debug_mode=config.debug_mode, mt_precision=config.mt_precision,
+        interpret=interpret)
+
+    # decode the kernel's winner encoding k*Lpad + slot -> triangle index
+    # (the kernel never transposes the int triangle ids; XLA does the two
+    # small gathers here instead)
+    ln = accel.slot_mat.shape[1]
+    kwin = jnp.maximum(enc_tiles, 0) // lnp                 # (nT, P)
+    slot = jnp.maximum(enc_tiles, 0) - kwin * lnp
+    cl = jnp.take_along_axis(cand, kwin, axis=1)            # (nT, P)
+    tri = jnp.take(accel.slot_mat.reshape(-1),
+                   cl * ln + jnp.minimum(slot, ln - 1))
+    tri_tiles = jnp.where(enc_tiles >= 0, tri, -1)
 
     t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
     tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)

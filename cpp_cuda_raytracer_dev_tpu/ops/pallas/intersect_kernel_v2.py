@@ -16,12 +16,16 @@ the reference's early-terminating ordered KD traversal
       hit t for unit-norm rays) — computed in the XLA cull stage;
     - per candidate the AABB is slab-tested per ray bounded by best_t;
       the Möller–Trumbore block only runs when some ray can improve;
-    - cluster geometry (L, 10: p1|e1|e2|tri_bits) is DMA'd HBM->VMEM by
+    - cluster geometry (9, L: p1|e1|e2 rows) is DMA'd HBM->VMEM by
       hand through a depth-_DMA_DEPTH prefetch pipeline (_DMA_NBUF
       buffers), so each copy is issued several steps of compute before
       its wait — single-buffering stalled every step on HBM latency;
-    - the MT math is identical to gen-1: MXU contraction (3L, 3)x(3, P),
-      sign-aware division-free acceptance, masked min + tie-min select.
+    - the MT math is the gen-1 MXU contraction (3L, 3)x(3, P) with
+      sign-aware division-free acceptance; winners are tracked as
+      k*L + slot via a free iota (triangle ids are decoded by XLA after
+      the kernel), so the int id row needs neither DMA nor transpose.
+      (A K=4 variant carrying t_d through the contraction measured 45%
+      slower — the 4L-row output crosses a Mosaic tiling cliff.)
 
 Compute and DMA cost now track the *dynamic* number of useful candidates
 per tile instead of the static K bound.
@@ -39,6 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils.dtypes import MT_EPSILON
 
 _HP = jax.lax.Precision.HIGHEST
+_PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
+               "high": jax.lax.Precision.HIGH,
+               "highest": jax.lax.Precision.HIGHEST}
 _I32_MAX = 2**31 - 1
 # Prefetch pipeline: depth (how many steps ahead a copy is issued) and
 # buffer count (must exceed depth so a slot is consumed before reuse).
@@ -51,7 +58,7 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
             out_t_ref, out_tri_ref, out_steps_ref,         # outputs
             geom_vmem, sem,                                # scratch
             *, eps: float, draw_distance: float, leaf: int, kmax: int,
-            n_sub: int, debug_mode: int):
+            n_sub: int, debug_mode: int, mt_precision: str):
     t = pl.program_id(0)
     count = count_ref[t]
 
@@ -140,13 +147,12 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
 
         @pl.when(_mt_gate)
         def _mt():
-            # geometry rides (10, L): components on sublanes, slots on
+            # geometry rides (9, L): components on sublanes, slots on
             # lanes — manual DMA requires the trailing dim 128-aligned
-            g = geom_vmem[slot]            # (10, L): p1|e1|e2|tri_bits rows
+            g = geom_vmem[slot]            # (9, L): p1|e1|e2 rows
             p1x, p1y, p1z = g[0:1], g[1:2], g[2:3]           # (1, L)
             e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
             e2x, e2y, e2z = g[6:7], g[7:8], g[8:9]
-            tri_row = jax.lax.bitcast_convert_type(g[9:10], jnp.int32)
             tvx, tvy, tvz = ox - p1x, oy - p1y, oz - p1z
 
             mdx = e2y * e1z - e2z * e1y
@@ -160,7 +166,6 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
             mvz = tvx * e1y - tvy * e1x
             td_row = e2x * mvx + e2y * mvy + e2z * mvz       # (1, L)
             td = jnp.transpose(td_row)                       # (L, 1)
-            tri_col = jnp.transpose(tri_row)                 # (L, 1)
 
             m = jnp.concatenate(                             # (3, 3L)
                 [jnp.concatenate([mdx, mdy, mdz], axis=0),
@@ -178,35 +183,57 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
 
                 @pl.when(jnp.any(box_ok[:, lo:hi]))
                 def _mt_sub(lo=lo, hi=hi):
+                    if debug_mode == 3:
+                        # branch/predicate machinery only: consume the DMA'd
+                        # geometry with a no-op update so nothing is DCE'd
+                        probe = jnp.max(g) * 1e-30 + 1e30
+                        out_t_ref[0, :, lo:hi] = jnp.minimum(
+                            out_t_ref[0, :, lo:hi], probe)
+                        return
                     out = jax.lax.dot_general(
                         m, d[:, lo:hi], (((0,), (0,)), ((), ())),
-                        precision=_HP,
+                        precision=_PRECISIONS[mt_precision],
                         preferred_element_type=jnp.float32)
                     det = out[0 * leaf:1 * leaf]             # (L, sp)
                     ud = out[1 * leaf:2 * leaf]
                     vd = out[2 * leaf:3 * leaf]
 
+                    # Division-free sign-aware acceptance (padding slots have
+                    # zero geometry => det == 0 => rejected, so no index
+                    # validity test is needed). t only orders hits here — the
+                    # winner's t is recomputed exactly in shade_hits
+                    # (models/renderer.py), so the cheap approx reciprocal
+                    # is enough.
                     s = jnp.where(det >= 0.0, 1.0, -1.0)
                     ad = det * s
                     uds = ud * s
                     vds = vd * s
+                    tds = td * s                             # (L, sp)
                     eps_ad = eps * ad
-                    tt = td * pl.reciprocal(det, approx=False)
                     ok = ((ad >= eps) & (uds >= eps_ad) & (vds >= eps_ad)
-                          & (uds + vds <= ad + eps_ad) & (tt >= eps)
-                          & (tri_col >= 0))
+                          & (uds + vds <= ad + eps_ad) & (tds >= eps_ad))
+                    # approx reciprocal (~2^-8) + one Newton step (~1e-5
+                    # relative): orders of magnitude cheaper than the exact
+                    # divide, tight enough for nearest-hit selection and the
+                    # raw depth output.
+                    r = pl.reciprocal(ad, approx=True)
+                    r = r * (2.0 - ad * r)
+                    tt = tds * r
                     tt = jnp.where(ok, tt, draw_distance)
 
                     tmin = jnp.min(tt, axis=0, keepdims=True)
-                    tri_win = jnp.min(
-                        jnp.where(tt <= tmin, tri_col, _I32_MAX),
+                    slot_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, tt.shape, 0)
+                    win = jnp.min(
+                        jnp.where(tt <= tmin, slot_iota, _I32_MAX),
                         axis=0, keepdims=True)
+                    enc = k * leaf + win                     # (1, sp)
 
                     cur_t = out_t_ref[0, :, lo:hi]           # (1, sp)
                     better = tmin < cur_t
                     out_t_ref[0, :, lo:hi] = jnp.where(better, tmin, cur_t)
                     out_tri_ref[0, :, lo:hi] = jnp.where(
-                        better, tri_win, out_tri_ref[0, :, lo:hi])
+                        better, enc, out_tri_ref[0, :, lo:hi])
 
         wb = jnp.min(jnp.array(
             [wb, jnp.max(jnp.minimum(out_t_ref[0], bound))]))
@@ -247,26 +274,28 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
 @functools.partial(
     jax.jit,
     static_argnames=("leaf", "eps", "draw_distance", "n_sub", "debug_mode",
-                     "interpret"))
+                     "mt_precision", "interpret"))
 def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
                              count: jax.Array, boxes: jax.Array,
-                             origin: jax.Array, geom10: jax.Array,
+                             origin: jax.Array, geom9: jax.Array,
                              leaf: int, eps: float = MT_EPSILON,
                              draw_distance: float = 400.0,
                              n_sub: int = 1, debug_mode: int = 0,
+                             mt_precision: str = "highest",
                              interpret: bool = False):
     """Nearest hit per ray for all tiles, dynamic candidate loop.
 
     d_tiles: (nT, 3, P); cand: (nT, K) int32 nearest-first; count: (nT,);
     boxes: (nT, K, 8) candidate AABBs (cols 0-5) with the suffix-min
     conservative origin->AABB distance in col 6 (the loop-exit
-    certificate); origin9: (9,) = origin|root_bmin|root_bmax; geom10: (C, 10, L)
-    packed rows p1|e1|e2|tri_bits (slots on the 128-aligned lane dim).
-    Returns (t (nT, P), tri (nT, P)).
+    certificate); origin9: (9,) = origin|root_bmin|root_bmax; geom9:
+    (C, 9, L) packed rows p1|e1|e2 (slots on the 128-aligned lane dim).
+    Returns (t (nT, P), enc (nT, P)) where enc = k*L + slot of the winning
+    (candidate, slot) pair, -1 = miss — the caller decodes triangle ids.
     """
     n_tiles, _, p = d_tiles.shape
     kmax = cand.shape[1]
-    ln = geom10.shape[2]
+    ln = geom9.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -287,7 +316,7 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_DMA_NBUF, 10, ln), jnp.float32),
+            pltpu.VMEM((_DMA_NBUF, 9, ln), jnp.float32),
             pltpu.SemaphoreType.DMA((_DMA_NBUF,)),
         ],
     )
@@ -296,7 +325,8 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
     kernel = functools.partial(_kernel, eps=eps,
                                draw_distance=draw_distance, leaf=leaf,
                                kmax=kmax, n_sub=n_sub,
-                               debug_mode=debug_mode)
+                               debug_mode=debug_mode,
+                               mt_precision=mt_precision)
     out_t, out_tri, out_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -306,5 +336,5 @@ def pallas_tile_intersect_v2(d_tiles: jax.Array, cand: jax.Array,
             jax.ShapeDtypeStruct((n_tiles, 1, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(cand.reshape(-1), count, origin, d_tiles, boxes, geom10)
+    )(cand.reshape(-1), count, origin, d_tiles, boxes, geom9)
     return out_t[:, 0], out_tri[:, 0], out_steps[:, 0, :2]

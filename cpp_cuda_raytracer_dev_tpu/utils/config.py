@@ -54,5 +54,9 @@ class RenderConfig:
     # (intersect_clustered_pallas_v2 then returns (Hit, stats)).
     with_stats: bool = False
     # pallas2 kernel debug: 0 = normal, 1 = count MT sub-tile executions
-    # (stats lane 1), 2 = skip MT entirely (loop/slab/DMA floor).
+    # (stats lane 1), 2 = skip MT entirely (loop/slab/DMA floor),
+    # 3 = keep predicates/branches but trivial MT body.
     debug_mode: int = 0
+    # MXU precision for the MT (det|u|v) contraction: "default" (1 bf16
+    # pass), "high" (3 passes), "highest" (6 passes, exact f32).
+    mt_precision: str = "highest"

@@ -56,21 +56,14 @@ def main():
             f"{num_rays/dt:.3e} rays/s hit={hit:.3f} (compile {cs:.0f}s)")
         return dt
 
+    # MXU precision for the (det|u|v) K=3 contraction: HIGHEST = 6 bf16
+    # passes. If the kernel is matmul-pass-bound, default/high are 6x/2x.
+    b = dict(tile_h=64, tile_w=64, max_candidates=64, max_groups=24,
+             sub_h=16, sub_w=32)
     sweep = [
-        ("32x32 K48 sub0", dict(tile_h=32, tile_w=32, max_candidates=48,
-                                max_groups=24)),
-        ("32x32 K48 sub16x16", dict(tile_h=32, tile_w=32, max_candidates=48,
-                                    max_groups=24, sub_h=16, sub_w=16)),
-        ("32x32 K48 sub8x16", dict(tile_h=32, tile_w=32, max_candidates=48,
-                                   max_groups=24, sub_h=8, sub_w=16)),
-        ("32x32 K64 sub16x16", dict(tile_h=32, tile_w=32, max_candidates=64,
-                                    max_groups=24, sub_h=16, sub_w=16)),
-        ("64x32 K48 sub16x16", dict(tile_h=64, tile_w=32, max_candidates=48,
-                                    max_groups=24, sub_h=16, sub_w=16)),
-        ("64x64 K64 sub16x16", dict(tile_h=64, tile_w=64, max_candidates=64,
-                                    max_groups=24, sub_h=16, sub_w=16)),
-        ("64x64 K64 sub16x32", dict(tile_h=64, tile_w=64, max_candidates=64,
-                                    max_groups=24, sub_h=16, sub_w=32)),
+        ("64x64 K64 sub16x32 highest", dict(**b)),
+        ("64x64 K64 sub16x32 high   ", dict(**b, mt_precision="high")),
+        ("64x64 K64 sub16x32 default", dict(**b, mt_precision="default")),
     ]
     results = {}
     for tag, kw in sweep:
@@ -80,21 +73,24 @@ def main():
         except Exception as e:
             log(f"{tag}: FAILED {str(e)[:300]}")
 
-    best_tag = min(results, key=lambda k: results[k][0])
+    real = {k: v for k, v in results.items()
+            if not results[k][1].get("debug_mode")}
+    best_tag = min(real, key=lambda k: real[k][0])
     log(f"BEST: {best_tag}")
 
-    # oracle check on the best
-    cfg = RenderConfig(method="pallas2", leaf_size=128, **results[best_tag][1])
+    # oracle agreement per real config (precision changes can corrupt hits)
     rmd = camera.ray_directions()
-    hit_g = trace_rays(scene, jnp.asarray(camera.pos), jnp.asarray(rmd),
-                       cfg, accel, h, w)
     idx = np.random.default_rng(0).choice(num_rays, 2048, replace=False)
     hit_f = trace_rays(scene, jnp.asarray(camera.pos),
                        jnp.asarray(rmd)[idx],
                        RenderConfig(method="fixed", chunk=2048))
-    agree = float(np.mean(np.asarray(hit_g.tri)[idx]
-                          == np.asarray(hit_f.tri)))
-    log(f"oracle agreement (best): {agree:.4f}")
+    ref_tri = np.asarray(hit_f.tri)
+    for tag, (_, kw) in real.items():
+        cfg = RenderConfig(method="pallas2", leaf_size=128, **kw)
+        hit_g = trace_rays(scene, jnp.asarray(camera.pos),
+                           jnp.asarray(rmd), cfg, accel, h, w)
+        agree = float(np.mean(np.asarray(hit_g.tri)[idx] == ref_tri))
+        log(f"oracle agreement {tag}: {agree:.4f}")
 
 
 if __name__ == "__main__":
