@@ -60,7 +60,19 @@ def build_scene(args):
                           max_groups=args.max_groups,
                           sub_h=args.sub_h, sub_w=args.sub_w)
     accel = None
-    if args.method in ("grid", "pallas", "pallas2", "kd"):
+    if args.method == "kd":
+        # reference-semantics traversal needs the flattened KD tables, not
+        # cluster blocks (models/renderer.py trace_rays hands accel[oi]
+        # straight to kd_intersect)
+        from cpp_cuda_raytracer_dev_tpu.accel.traverse import KDTables
+        from cpp_cuda_raytracer_dev_tpu.utils.cache import build_kd_cached
+        t0 = time.perf_counter()
+        amin, amax = [np.asarray(a) for a in tris.aabbs()]
+        tree = build_kd_cached(amin, amax, min_node_size=config.leaf_size)
+        accel = (KDTables.from_tree(tree, tris),)
+        log(f"kd tables build: {time.perf_counter() - t0:.2f}s "
+            f"({tree.num_nodes} nodes, max_leaf={accel[0].max_leaf})")
+    elif args.method in ("grid", "pallas", "pallas2"):
         t0 = time.perf_counter()
         accel = (ClusterAccel.build(tris, leaf_size=config.leaf_size),)
         log(f"accel build: {time.perf_counter() - t0:.2f}s "

@@ -89,29 +89,40 @@ class ClusterAccel(struct.PyTreeNode):
         return self.slot_mat.reshape(-1)
 
     @classmethod
-    def build(cls, tris, leaf_size: int = 128) -> "ClusterAccel":
-        """Host-side build (numpy): KD build -> leaf extraction -> padding."""
+    def build(cls, tris, leaf_size: int = 128,
+              cache: bool = True) -> "ClusterAccel":
+        """Host-side build (numpy): KD build -> leaf extraction -> padding.
+
+        With ``cache=True`` the KD tree is loaded from / saved to the disk
+        cache keyed by mesh hash + leaf size (utils/cache.py) — the
+        checkpoint/resume analogue of SURVEY.md §5: the reference re-sorts
+        and rebuilds its tree on every launch (WinMain.cpp:122-151)."""
         p1 = np.asarray(tris.p1)
         e1 = np.asarray(tris.e1)
         e2 = np.asarray(tris.e2)
         v = np.stack([p1, p1 + e1, p1 + e2], axis=1)
-        from .native import build_kd_fast
-        tree = build_kd_fast(v.min(axis=1), v.max(axis=1),
-                             min_node_size=leaf_size)
+        amin, amax = v.min(axis=1), v.max(axis=1)
+        if cache:
+            from ..utils.cache import build_kd_cached
+            tree = build_kd_cached(amin, amax, min_node_size=leaf_size)
+        else:
+            from .native import build_kd_fast
+            tree = build_kd_fast(amin, amax, min_node_size=leaf_size)
         leaf_ids = np.nonzero(tree.is_leaf)[0]
         c = leaf_ids.shape[0]
         ln = leaf_size
-        slot_tri = np.full((c, ln), -1, np.int32)
-        sp1 = np.zeros((c, ln, 3), np.float32)
-        se1 = np.zeros((c, ln, 3), np.float32)
-        se2 = np.zeros((c, ln, 3), np.float32)
-        for k, node in enumerate(leaf_ids):
-            s, cnt = tree.leaf_start[node], tree.leaf_count[node]
-            ids = tree.perm[s:s + cnt]
-            slot_tri[k, :cnt] = ids
-            sp1[k, :cnt] = p1[ids]
-            se1[k, :cnt] = e1[ids]
-            se2[k, :cnt] = e2[ids]
+        # vectorized leaf extraction: one gather instead of a per-leaf loop
+        starts = tree.leaf_start[leaf_ids].astype(np.int64)    # (C,)
+        counts = tree.leaf_count[leaf_ids].astype(np.int64)
+        lane = np.arange(ln, dtype=np.int64)[None, :]          # (1, L)
+        valid = lane < counts[:, None]                         # (C, L)
+        pos = np.minimum(starts[:, None] + lane, p1.shape[0] - 1)
+        ids = tree.perm[pos]                                   # (C, L)
+        slot_tri = np.where(valid, ids, -1).astype(np.int32)
+        v3 = valid[:, :, None]
+        sp1 = np.where(v3, p1[ids], 0.0).astype(np.float32)
+        se1 = np.where(v3, e1[ids], 0.0).astype(np.float32)
+        se2 = np.where(v3, e2[ids], 0.0).astype(np.float32)
         bmin = tree.bounds_min[leaf_ids]
         bmax = tree.bounds_max[leaf_ids]
         geom_t = np.concatenate([sp1, se1, se2], axis=2)  # (C, L, 9)
@@ -274,7 +285,7 @@ def intersect_clustered(o: jax.Array, d: jax.Array, tris,
         overflow = jnp.maximum(
             jnp.sum(visible.astype(jnp.int32)) - k, 0)
         return (jnp.where(jnp.isfinite(tmin), tmin,
-                          jnp.float32(config.draw_distance)),
+                          jnp.asarray(config.draw_distance, tmin.dtype)),
                 tri, overflow)
 
     t_tiles, tri_tiles, overflow = jax.lax.map(
@@ -538,7 +549,7 @@ def kd_intersect(o: jax.Array, d: jax.Array, tables: KDTables,
 
     stack = jnp.zeros((num_r, depth), jnp.int32)
     sp = jnp.zeros((num_r,), jnp.int32)  # stack[0] = root, sp = top index
-    best_t = jnp.full((num_r,), draw_distance, jnp.float32)
+    best_t = jnp.full((num_r,), draw_distance, d.dtype)
     best_tri = jnp.full((num_r,), -1, jnp.int32)
 
     inv_d = 1.0 / d

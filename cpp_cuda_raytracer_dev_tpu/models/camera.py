@@ -42,13 +42,16 @@ class Camera(struct.PyTreeNode):
     @classmethod
     def create(cls, res_w: int, res_h: int, pos, look_at, up,
                film_h: float = 0.024, focal: float = 0.055,
-               film_w: float | None = None) -> "Camera":
-        """Reference construction (WinMain.cpp:69-74): film_w = aspect*0.024."""
+               film_w: float | None = None, dtype=jnp.float32) -> "Camera":
+        """Reference construction (WinMain.cpp:69-74): film_w = aspect*0.024.
+
+        ``dtype``: runtime precision switch (typedefs.h PPP_TAG analogue);
+        ray directions inherit it."""
         if film_w is None:
             film_w = film_h * (res_w / res_h)
-        f32 = lambda x: jnp.asarray(x, jnp.float32)
-        return cls(pos=f32(pos), look_at=f32(look_at), up=f32(up),
-                   film_w=f32(film_w), film_h=f32(film_h), focal=f32(focal),
+        fp = lambda x: jnp.asarray(x, dtype)
+        return cls(pos=fp(pos), look_at=fp(look_at), up=fp(up),
+                   film_w=fp(film_w), film_h=fp(film_h), focal=fp(focal),
                    res_w=res_w, res_h=res_h)
 
     @property
@@ -84,8 +87,8 @@ class Camera(struct.PyTreeNode):
         1-thread-per-pixel kernel (Camera.cu:94-95,103-104).
         """
         n_mod, u_mod, v_mod = self.ray_mods()
-        ix = jnp.arange(self.res_w, dtype=jnp.float32)
-        iy = jnp.arange(self.res_h, dtype=jnp.float32)
+        ix = jnp.arange(self.res_w, dtype=self.pos.dtype)
+        iy = jnp.arange(self.res_h, dtype=self.pos.dtype)
         d = (n_mod[None, None, :]
              + u_mod[None, None, :] * ix[None, :, None]
              + v_mod[None, None, :] * iy[:, None, None])  # (H, W, 3)

@@ -57,7 +57,7 @@ def trace_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
     Pose-on-the-ray trick (Trixel.cu:60-66): geometry stays in its
     build-time frame; each object transforms the rays instead.
     """
-    best = Hit.miss(rmd.shape[0], config.draw_distance)
+    best = Hit.miss(rmd.shape[0], config.draw_distance, rmd.dtype)
     for oi, obj in enumerate(scene.objects):
         d_obj = obj.pose.inv_apply_vec(rmd)
         o_obj = obj.pose.inv_apply(origin)
@@ -102,14 +102,12 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
 
     num_r = rmd.shape[0]
     tri_idx = jnp.maximum(hit.tri, 0)
-    radiance = jnp.zeros((num_r, 3), jnp.float32)
-    normal = jnp.zeros((num_r, 3), jnp.float32)
-    point = jnp.zeros((num_r, 3), jnp.float32)
-
-    import os
+    radiance = jnp.zeros((num_r, 3), rmd.dtype)
+    normal = jnp.zeros((num_r, 3), rmd.dtype)
+    point = jnp.zeros((num_r, 3), rmd.dtype)
 
     from ..ops.gather import gather_rows
-    if os.environ.get("RAYTPU_SORTED_SCATTER", "1") == "0":
+    if not config.sorted_scatter:
         gather_rows = lambda tables, idx: tuple(  # noqa: E731
             jnp.take(t, idx, axis=0) for t in tables)
 

@@ -39,21 +39,29 @@ class Triangles(struct.PyTreeNode):
     color: jax.Array   # (T, 3) per-triangle radiance rgb
 
     @classmethod
-    def from_vertices(cls, tri_vertices, color=None) -> "Triangles":
+    def from_vertices(cls, tri_vertices, color=None,
+                      dtype=jnp.float32) -> "Triangles":
         """Build from (T, 3, 3) vertex blocks; the analogue of
         init_tri_mem_cuda (Trixel.cu:11-27). Default color matches the
-        scene setup at WinMain.cpp:118-120: (0.1, 0.55, 0.20)."""
-        tv = jnp.asarray(tri_vertices, jnp.float32)
+        scene setup at WinMain.cpp:118-120: (0.1, 0.55, 0.20).
+
+        ``dtype`` is the runtime analogue of the reference's compile-time
+        precision switch (typedefs.h:11-29 PPP_TAG -> T_fp float/double):
+        the scene's dtype flows through every downstream op. float64
+        requires jax_enable_x64; the "brute"/"fixed"/"kd" intersect paths
+        run fully in the scene dtype, while the cluster/Pallas paths store
+        acceleration geometry in f32 (the TPU has no f64 vector unit)."""
+        tv = jnp.asarray(tri_vertices, dtype)
         p1 = tv[:, 0]
         e1 = tv[:, 1] - p1
         e2 = tv[:, 2] - p1
         n = vecmath.normalize(vecmath.cross(e1, e2))
         if color is None:
             color = jnp.broadcast_to(
-                jnp.array([0.1, 0.55, 0.20], jnp.float32), p1.shape)
+                jnp.array([0.1, 0.55, 0.20], dtype), p1.shape)
         else:
             color = jnp.broadcast_to(
-                jnp.asarray(color, jnp.float32), p1.shape)
+                jnp.asarray(color, dtype), p1.shape)
         return cls(p1=p1, e1=e1, e2=e2, n=n, color=color)
 
     @property
@@ -87,7 +95,7 @@ class SceneObject(struct.PyTreeNode):
     def create(cls, tris: Triangles, pose: Pose | None = None
                ) -> "SceneObject":
         return cls(tris=tris, pose=pose if pose is not None
-                   else Pose.identity())
+                   else Pose.identity(tris.p1.dtype))
 
 
 class PhongParams(struct.PyTreeNode):
@@ -101,11 +109,11 @@ class PhongParams(struct.PyTreeNode):
     exponent: jax.Array      # scalar — reference: 5
 
     @classmethod
-    def reference(cls) -> "PhongParams":
-        f32 = lambda x: jnp.asarray(x, jnp.float32)
-        return cls(light_pos=f32([2.0, 2.0, 2.0]),
-                   light_color=f32([1.0, 1.0, 1.0]),
-                   diffuse=f32(0.6), specular=f32(0.3), exponent=f32(5.0))
+    def reference(cls, dtype=jnp.float32) -> "PhongParams":
+        fp = lambda x: jnp.asarray(x, dtype)
+        return cls(light_pos=fp([2.0, 2.0, 2.0]),
+                   light_color=fp([1.0, 1.0, 1.0]),
+                   diffuse=fp(0.6), specular=fp(0.3), exponent=fp(5.0))
 
 
 class Scene(struct.PyTreeNode):
@@ -116,9 +124,12 @@ class Scene(struct.PyTreeNode):
 
     @classmethod
     def create(cls, objects, phong: PhongParams | None = None) -> "Scene":
-        return cls(objects=tuple(objects),
-                   phong=phong if phong is not None
-                   else PhongParams.reference())
+        objects = tuple(objects)
+        if phong is None:
+            dtype = (objects[0].tris.p1.dtype if objects
+                     else jnp.float32)
+            phong = PhongParams.reference(dtype)
+        return cls(objects=objects, phong=phong)
 
 
 def default_colors(num_tri: int) -> np.ndarray:

@@ -51,9 +51,10 @@ class Hit(struct.PyTreeNode):
 
     @classmethod
     def miss(cls, num_rays: int,
-             draw_distance: float = DEFAULT_DRAW_DISTANCE) -> "Hit":
+             draw_distance: float = DEFAULT_DRAW_DISTANCE,
+             dtype=jnp.float32) -> "Hit":
         return cls(
-            t=jnp.full((num_rays,), draw_distance, jnp.float32),
+            t=jnp.full((num_rays,), draw_distance, dtype),
             tri=jnp.full((num_rays,), -1, jnp.int32),
             obj=jnp.full((num_rays,), -1, jnp.int32),
         )
@@ -191,11 +192,11 @@ def mt_fixed_origin(d: jax.Array, cache: FixedOriginCache,
         # full f32 accumulation.
         hp = jax.lax.Precision.HIGHEST
         det = jnp.dot(d, mdc.T, precision=hp,
-                      preferred_element_type=jnp.float32)  # (R, C)
+                      preferred_element_type=d.dtype)  # (R, C)
         ud = jnp.dot(d, muc.T, precision=hp,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=d.dtype)
         vd = jnp.dot(d, mvc.T, precision=hp,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=d.dtype)
         inv = 1.0 / det
         u = ud * inv
         v = vd * inv

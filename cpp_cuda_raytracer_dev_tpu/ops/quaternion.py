@@ -21,8 +21,8 @@ from flax import struct
 from . import vecmath
 
 
-def identity() -> jax.Array:
-    return jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+def identity(dtype=jnp.float32) -> jax.Array:
+    return jnp.array([0.0, 0.0, 0.0, 1.0], dtype)
 
 
 def qmul(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -49,10 +49,11 @@ def qnormalize(q: jax.Array) -> jax.Array:
     return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True))
 
 
-def from_axis_angle(axis: jax.Array, angle: jax.Array) -> jax.Array:
+def from_axis_angle(axis: jax.Array, angle: jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
     """Unit quaternion for a rotation of ``angle`` radians about ``axis``."""
-    axis = vecmath.normalize(jnp.asarray(axis, jnp.float32))
-    half = jnp.asarray(angle, jnp.float32) / 2.0
+    axis = vecmath.normalize(jnp.asarray(axis, dtype))
+    half = jnp.asarray(angle, dtype) / 2.0
     return jnp.concatenate(
         [axis * jnp.sin(half)[..., None], jnp.cos(half)[..., None]], axis=-1
     )
@@ -106,8 +107,8 @@ class Pose(struct.PyTreeNode):
     translation: jax.Array  # (3,)
 
     @classmethod
-    def identity(cls) -> "Pose":
-        return cls(quat=identity(), translation=jnp.zeros(3, jnp.float32))
+    def identity(cls, dtype=jnp.float32) -> "Pose":
+        return cls(quat=identity(dtype), translation=jnp.zeros(3, dtype))
 
     def matrix(self) -> jax.Array:
         return to_matrix(self.quat)

@@ -66,7 +66,7 @@ def compose_framebuffer(radiance: jax.Array, hit_mask: jax.Array,
     # "max channel = 255" invariant (Camera.cu:56-59).
     shaded = jnp.clip(jnp.round(tonemap_maxnorm(radiance) * 255.0),
                       0.0, 255.0)
-    bg = jnp.asarray(background_rgb, jnp.float32)
+    bg = jnp.asarray(background_rgb, radiance.dtype)
     rgb = jnp.where(hit_mask[..., None], shaded, bg[None, :])
     return rgb.astype(jnp.uint8)
 

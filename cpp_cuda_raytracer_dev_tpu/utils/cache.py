@@ -37,7 +37,9 @@ def save_tree(tree: KDTree, key: str,
               cache_dir: str = DEFAULT_CACHE_DIR) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"kd_{key}.npz")
-    np.savez_compressed(
+    # uncompressed: a dragon-scale tree saves in well under a second;
+    # compression cost would eat the build-time win being cached
+    np.savez(
         path, min_node_size=np.int64(tree.min_node_size),
         **{f: getattr(tree, f) for f in _FIELDS})
     return path
@@ -55,12 +57,12 @@ def load_tree(key: str, cache_dir: str = DEFAULT_CACHE_DIR) -> KDTree | None:
 def build_kd_cached(aabb_min: np.ndarray, aabb_max: np.ndarray,
                     min_node_size: int = 1,
                     cache_dir: str = DEFAULT_CACHE_DIR) -> KDTree:
-    """Cache-through KD build."""
-    from ..accel.kd_build import build_kd
+    """Cache-through KD build (native builder on miss)."""
+    from ..accel.native import build_kd_fast
 
     key = mesh_key(aabb_min, aabb_max, min_node_size)
     tree = load_tree(key, cache_dir)
     if tree is None:
-        tree = build_kd(aabb_min, aabb_max, min_node_size)
+        tree = build_kd_fast(aabb_min, aabb_max, min_node_size)
         save_tree(tree, key, cache_dir)
     return tree

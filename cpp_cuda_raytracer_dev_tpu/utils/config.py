@@ -60,3 +60,7 @@ class RenderConfig:
     # MXU precision for the MT (det|u|v) contraction: "default" (1 bf16
     # pass), "high" (3 passes), "highest" (6 passes, exact f32).
     mt_precision: str = "highest"
+    # Shading gather VJP: True = scatter-free sort+cumsum transpose
+    # (ops/gather.py, ~35x faster at dragon scale), False = XLA's default
+    # scatter-add (kept for A/B validation of the custom VJP).
+    sorted_scatter: bool = True

@@ -34,7 +34,14 @@ DEFAULT_INT = jnp.int32
 
 @dataclasses.dataclass(frozen=True)
 class Precision:
-    """Bundle of dtypes, the analogue of typedefs.h's T_fp/T_uint/T_int."""
+    """Bundle of dtypes, the analogue of typedefs.h's T_fp/T_uint/T_int.
+
+    Consumed by passing ``.fp`` as the ``dtype`` argument of
+    ``Triangles.from_vertices`` / ``Camera.create`` /
+    ``PhongParams.reference``; the scene/camera dtype then flows through
+    the whole render path (tests/test_f64.py exercises F64 end-to-end).
+    float64 additionally requires ``jax.config.update("jax_enable_x64",
+    True)`` (or the enable_x64 context manager)."""
 
     fp: jnp.dtype = jnp.float32
     int_: jnp.dtype = jnp.int32
