@@ -360,8 +360,13 @@ def cull_tiles_hier(o: jax.Array, tiles: jax.Array, accel: ClusterAccel,
         _, sel = jax.lax.top_k(-key, k)                   # (k,) into cl
         cand = jnp.take(cl, sel)
         nvis = jnp.sum(visible.astype(jnp.int32))
+        # groups visible but beyond the kg budget were never tested —
+        # count their clusters (upper bound) as overflow too, so the
+        # escalation pass (exact flat cull) picks these tiles up
+        ngvis = jnp.sum(gvis.astype(jnp.int32))
+        dropped_groups = jnp.maximum(ngvis - kg, 0)
         return (cand.astype(jnp.int32), jnp.minimum(nvis, k),
-                jnp.maximum(nvis - k, 0))
+                jnp.maximum(nvis - k, 0) + dropped_groups * group)
 
     return jax.vmap(per_tile)(tiles)
 
@@ -407,43 +412,22 @@ def intersect_clustered_pallas(o: jax.Array, d: jax.Array,
                obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
 
 
-def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
-                                  accel: ClusterAccel, config: RenderConfig,
-                                  res_h: int, res_w: int,
-                                  interpret: bool | None = None) -> Hit:
-    """Gen-2 perf path: dynamic per-tile candidate loop with manual
-    double-buffered DMA (ops/pallas/intersect_kernel_v2.py)."""
-    from ..ops.pallas.intersect_kernel_v2 import pallas_tile_intersect_v2
+def _candidate_boxes(o: jax.Array, accel: ClusterAccel, cand: jax.Array,
+                     count: jax.Array) -> jax.Array:
+    """(nT, K) candidates -> (nT, K, 8) AABBs with the suffix-min
+    conservative origin->AABB distance in column 6.
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    th, tw = config.tile_h, config.tile_w
-    sh, sw = config.sub_h, config.sub_w
-    k = min(config.max_candidates, accel.num_clusters)
-
-    tiles, meta = _tile_rays(d, res_h, res_w, th, tw, sh, sw)  # (nT, P, 3)
-    sh, sw = meta[6], meta[7]
-    n_sub = (th // sh) * (tw // sw) if (sh and sw) else 1
-    if config.max_groups > 0:
-        cand, count, _overflow = cull_tiles_hier(
-            o, tiles, accel, th, tw, k, config.group_size,
-            config.max_groups, sh, sw)
-    else:
-        cand, count, _overflow = cull_tiles(o, tiles, accel, th, tw, k,
-                                            sh, sw)
-    d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
-
+    The distance is a lower bound on any hit t inside the candidate (unit
+    dirs => t >= Euclidean distance from origin to the AABB); its suffix
+    min over the nearest-first order is the kernel's loop-exit
+    certificate, packed into boxes column 6 (SMEM is too small to
+    prefetch a (tiles, K) array at fine tile sizes)."""
+    k = cand.shape[1]
     box8 = jnp.concatenate(
         [accel.bounds_min, accel.bounds_max,
          jnp.zeros((accel.num_clusters, 2), jnp.float32)], axis=1)  # (C, 8)
     boxes = jnp.take(box8, cand.reshape(-1), axis=0).reshape(
         cand.shape[0], k, 8)
-
-    # conservative lower bound on any hit t inside each candidate (unit
-    # dirs => t >= Euclidean distance from origin to the AABB), then the
-    # suffix-min over the nearest-first candidate order — the kernel's
-    # loop-exit certificate, packed into boxes column 6 (SMEM is too small
-    # to prefetch a (tiles, K) array at fine tile sizes)
     gap = jnp.maximum(jnp.maximum(accel.bounds_min - o[None, :],
                                   o[None, :] - accel.bounds_max), 0.0)
     dist_c = jnp.sqrt(jnp.sum(gap * gap, axis=-1))          # (C,)
@@ -452,11 +436,18 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     dist = jnp.where(kk < count[:, None], dist, jnp.float32(3.0e38))
     sufmin = jnp.flip(
         jax.lax.cummin(jnp.flip(dist, axis=1), axis=1), axis=1)
-    boxes = boxes.at[:, :, 6].set(sufmin)
+    return boxes.at[:, :, 6].set(sufmin)
 
+
+def _run_v2_kernel(o: jax.Array, d_tiles: jax.Array, cand: jax.Array,
+                   count: jax.Array, accel: ClusterAccel,
+                   config: RenderConfig, n_sub: int, interpret: bool):
+    """Cull output -> v2 kernel -> decoded (t (nT,P), tri (nT,P), steps)."""
+    from ..ops.pallas.intersect_kernel_v2 import pallas_tile_intersect_v2
+
+    boxes = _candidate_boxes(o, accel, cand, count)
     geom9 = accel.geom9_t                               # (C, 9, Lpad)
     lnp = geom9.shape[2]
-
     root = jnp.concatenate([o, jnp.min(accel.bounds_min, axis=0),
                             jnp.max(accel.bounds_max, axis=0)])  # (9,)
     t_tiles, enc_tiles, steps = pallas_tile_intersect_v2(
@@ -476,6 +467,55 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     tri = jnp.take(accel.slot_mat.reshape(-1),
                    cl * ln + jnp.minimum(slot, ln - 1))
     tri_tiles = jnp.where(enc_tiles >= 0, tri, -1)
+    return t_tiles, tri_tiles, steps
+
+
+def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
+                                  accel: ClusterAccel, config: RenderConfig,
+                                  res_h: int, res_w: int,
+                                  interpret: bool | None = None) -> Hit:
+    """Gen-2 perf path: dynamic per-tile candidate loop with manual
+    multi-buffered DMA (ops/pallas/intersect_kernel_v2.py), plus exact
+    re-culling of candidate-overflow tiles (the reference's traversal
+    never drops geometry, Trixel.cu:70-169 — neither may we)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th, tw = config.tile_h, config.tile_w
+    sh, sw = config.sub_h, config.sub_w
+    k = min(config.max_candidates, accel.num_clusters)
+
+    tiles, meta = _tile_rays(d, res_h, res_w, th, tw, sh, sw)  # (nT, P, 3)
+    sh, sw = meta[6], meta[7]
+    n_sub = (th // sh) * (tw // sw) if (sh and sw) else 1
+    if config.max_groups > 0:
+        cand, count, overflow = cull_tiles_hier(
+            o, tiles, accel, th, tw, k, config.group_size,
+            config.max_groups, sh, sw)
+    else:
+        cand, count, overflow = cull_tiles(o, tiles, accel, th, tw, k,
+                                           sh, sw)
+    d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
+
+    t_tiles, tri_tiles, steps = _run_v2_kernel(
+        o, d_tiles, cand, count, accel, config, n_sub, interpret)
+
+    # --- overflow escalation: exact second pass over the worst tiles ---
+    n_tiles = tiles.shape[0]
+    e = min(config.escalate_tiles, n_tiles)
+    k2 = min(k * max(config.escalate_factor, 1), accel.num_clusters)
+    if e > 0 and k2 > k and accel.num_clusters > k:
+        ovf_top, etile = jax.lax.top_k(overflow, e)         # (E,)
+        e_tiles = jnp.take(tiles, etile, axis=0)            # (E, P, 3)
+        cand2, count2, ovf2 = cull_tiles(o, e_tiles, accel, th, tw, k2,
+                                         sh, sw)
+        t2, tri2, _ = _run_v2_kernel(
+            o, e_tiles.transpose(0, 2, 1), cand2, count2, accel, config,
+            n_sub, interpret)
+        # splice: escalated results are a superset of the first pass
+        # (tiles selected with overflow 0 recompute the same answer)
+        t_tiles = t_tiles.at[etile].set(t2)
+        tri_tiles = tri_tiles.at[etile].set(tri2)
+        overflow = overflow.at[etile].set(ovf2)
 
     t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
     tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)
@@ -483,7 +523,7 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
               obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
     if config.with_stats:
         return hit, {"steps": steps[:, 0], "mt_subs": steps[:, 1],
-                     "count": count}
+                     "count": count, "overflow": overflow}
     return hit
 
 

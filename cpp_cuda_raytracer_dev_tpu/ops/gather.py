@@ -1,32 +1,47 @@
-"""Row gather with a TPU-efficient, scatter-free transpose.
+"""Row gather with a TPU-efficient, scatter-free transpose (custom VJP).
 
 The differentiable shading path gathers per-hit triangle data
 (``models/renderer.py shade_hits``): ~R rows out of T-row tables. XLA's
 default VJP for that gather is a scatter-add into the (T, ...) gradient,
-which lowers to a *serialized* per-row loop on TPU — profiled at ~21 ms per
-table (5 tables = ~105 ms) at dragon scale (R=518k, T=800k). Even
-``segment_sum(indices_are_sorted=True)`` lowers to the same scatter.
+which lowers to a *serialized* per-row loop on TPU (~21 ms per table at
+dragon scale). Two scatter-free rewrites live here:
 
-`gather_rows` keeps the forward a plain gather but rewrites the transpose
-with no scatter at all:
+1. ``_bwd_pallas`` (TPU fast path): sort the hit indices once, permute all
+   cotangents into one (R, F) block, then a Pallas kernel computes the
+   per-triangle segment sums as **one-hot MXU contractions**: for each
+   block of 1024 output rows, grad_block (F, 1024) = ct_chunk (F, 512) @
+   onehot (512, 1024), where onehot[r, t] = (idx_sorted[r] == t). The
+   sorted order makes each output block read a short contiguous row range
+   (found with one tiny searchsorted over block boundaries), so total work
+   is ~R rows of DMA + a few GFLOP of matmul — no T-sized search, no
+   cumsum, no scatter. Profiled r2: the previous sort+cumsum transpose
+   cost ~40 ms/step at dragon scale (T-sized merged-sort searchsorted +
+   (T+1, F) boundary gather dominated); this path replaces all of it.
+2. ``_bwd_cumsum`` (fallback for CPU / non-f32): the r1 sort + running-sum
+   + binary-search design.
 
-  1. argsort the hit indices once (XLA TPU sort: ~0.6 ms at 518k), shared
-     across all gathered tables;
-  2. permute the cotangents of ALL tables at once (concatenated to one
-     (R, F) block so the permute/cumsum run once, not per table);
-  3. exclusive running sum over the sorted rows;
-  4. per output row t, grad[t] = cumsum[end(t)] - cumsum[start(t)] with
-     start/end from a vectorized binary search (searchsorted) — two plain
-     gathers instead of a scatter.
+The forward packs all tables into one (T, F) block and does a single
+``jnp.take`` — one gather instead of five (each gather costs ~R row
+latencies regardless of width, ~17 ms/step total before packing).
 
-Profiled end-to-end this replaces ~105 ms of scatters with ~3 ms of
-sort + cumsum + gathers.
+Exactness: the one-hot matmul runs as two single-pass bf16 dots over a
+manual hi/lo split of the cotangents (Mosaic only lowers DEFAULT/HIGHEST
+precision); the 0/1 factor is bf16-exact, so ~16 mantissa bits of every
+cotangent survive into the f32 accumulation — ~2^-16 relative error,
+ample for gradient segment sums.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_CHUNK = 512      # rows of sorted cotangents per DMA/matmul step
+_TRI_BLOCK = 1024     # output rows (triangles) per grid step
 
 
 @jax.custom_vjp
@@ -34,12 +49,128 @@ def gather_rows(tables, idx):
     """tables: tuple of (T, ...) arrays (same T); idx: (R,) int32 in [0, T).
     Returns tuple of (R, ...) gathered rows. Differentiable w.r.t. tables.
     """
-    return tuple(jnp.take(t, idx, axis=0) for t in tables)
+    flats = [jnp.reshape(t, (t.shape[0], -1)) for t in tables]
+    packed = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=1)
+    rows = jnp.take(packed, idx, axis=0)
+    out, off = [], 0
+    for t, f in zip(tables, flats):
+        w = f.shape[1]
+        out.append(jnp.reshape(rows[:, off:off + w],
+                               (idx.shape[0],) + t.shape[1:]))
+        off += w
+    return tuple(out)
 
 
 def _fwd(tables, idx):
     shapes = tuple(t.shape for t in tables)
     return gather_rows(tables, idx), (idx, shapes)
+
+
+def _segsum_kernel(bounds_ref, blockt_hbm, out_ref, chunk_vmem, sem,
+                   *, rc: int, f: int, blk: int):
+    """out[b] (f, blk) = sum over sorted rows r of ct[:, r] placed at column
+    idx[r] - b*blk (rows outside the block contribute nothing — the one-hot
+    test is the mask, so chunk boundaries need no alignment care)."""
+    b = pl.program_id(0)
+    lo = bounds_ref[b]
+    hi = bounds_ref[b + 1]
+    out_ref[...] = jnp.zeros_like(out_ref)
+    c0 = lo // rc
+    nch = jnp.where(hi > lo, (hi - 1) // rc - c0 + 1, 0)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            blockt_hbm.at[:, pl.ds(c * rc, rc)], chunk_vmem.at[slot],
+            sem.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        dma(0, c0).start()
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nch)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), c0 + i + 1).start()
+
+        dma(slot, c0 + i).wait()
+        ch = chunk_vmem[slot]                       # (f+1, rc)
+        idxi = ch[f:f + 1].astype(jnp.int32)        # (1, rc) tri ids
+        col = jax.lax.broadcasted_iota(jnp.int32, (rc, blk), 1)
+        onehot = (idxi.T - b * blk == col).astype(jnp.float32)  # (rc, blk)
+        # Manual 2-term bf16 split (Mosaic supports only DEFAULT/HIGHEST
+        # dot precision): the one-hot factor is exact in bf16, so
+        # hi@onehot + lo@onehot keeps ~16 mantissa bits of each cotangent
+        # with f32 accumulation — ample for gradient segment sums at 1/3
+        # the passes of HIGHEST.
+        ct = ch[0:f]
+        hi = ct.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = ct - hi
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        contrib = dot(hi, onehot) + dot(lo, onehot)  # (f, blk)
+        out_ref[0] += contrib
+        return carry
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("t_rows", "interpret"))
+def _segment_sum_pallas(block_sorted: jax.Array, idx_sorted: jax.Array,
+                        t_rows: int, interpret: bool = False) -> jax.Array:
+    """block_sorted: (R, F) f32 cotangents sorted by idx_sorted (R,) int32
+    ascending. Returns (t_rows, F) per-row segment sums."""
+    r, f = block_sorted.shape
+    rc, blk = _ROW_CHUNK, _TRI_BLOCK
+    rpad = (-r) % rc
+    idxf = idx_sorted.astype(jnp.float32)
+    aug = jnp.concatenate([block_sorted, idxf[:, None]], axis=1)  # (R, f+1)
+    if rpad:
+        pad = jnp.concatenate(
+            [jnp.zeros((rpad, f), jnp.float32),
+             jnp.full((rpad, 1), -1.0, jnp.float32)], axis=1)
+        aug = jnp.concatenate([aug, pad], axis=0)
+    blockt = aug.T                                   # (f+1, Rp)
+
+    nblk = pl.cdiv(t_rows, blk)
+    targets = (jnp.arange(nblk + 1, dtype=jnp.int32) * blk)
+    bounds = jnp.searchsorted(idx_sorted, targets, side="left"
+                              ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, f, blk), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, f + 1, rc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, rc=rc, f=f, blk=blk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk, f, blk), jnp.float32),
+        interpret=interpret,
+    )(bounds, blockt)
+    seg_t = out.transpose(1, 0, 2).reshape(f, nblk * blk)[:, :t_rows]
+    return seg_t.T                                   # (T, F)
+
+
+def _bwd_cumsum(block: jax.Array, idx_sorted: jax.Array,
+                t_rows: int) -> jax.Array:
+    """Fallback transpose: exclusive running sum + boundary search."""
+    targets = jnp.arange(t_rows + 1, dtype=idx_sorted.dtype)
+    bounds = jnp.searchsorted(idx_sorted, targets, side="left",
+                              method="sort")
+    cs = jnp.cumsum(block, axis=0)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+    csb = jnp.take(cs, bounds, axis=0)               # (T+1, F)
+    return csb[1:] - csb[:-1]                        # (T, F)
 
 
 def _bwd(res, ct):
@@ -51,19 +182,13 @@ def _bwd(res, ct):
     flats = [jnp.reshape(g, (g.shape[0], -1)) for g in ct]
     widths = [f.shape[1] for f in flats]
     block = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=1)
-    block = jnp.take(block, order, axis=0)                 # (R, F) sorted
+    block = jnp.take(block, order, axis=0)           # (R, F) sorted
 
     t_rows = shapes[0][0]
-    # one boundary array: start(t) = bounds[t], end(t) = bounds[t+1].
-    # method="sort" lowers to one merged sort — the default binary-search
-    # ("scan") lowering is a 20-iteration gather loop, ~100 ms at T=800k.
-    targets = jnp.arange(t_rows + 1, dtype=idx_sorted.dtype)
-    bounds = jnp.searchsorted(idx_sorted, targets, side="left",
-                              method="sort")
-    cs = jnp.cumsum(block, axis=0)
-    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
-    csb = jnp.take(cs, bounds, axis=0)                     # (T+1, F)
-    seg = csb[1:] - csb[:-1]                               # (T, F)
+    if block.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        seg = _segment_sum_pallas(block, idx_sorted, t_rows)
+    else:
+        seg = _bwd_cumsum(block, idx_sorted, t_rows)
 
     grads, off = [], 0
     for shape, w in zip(shapes, widths):

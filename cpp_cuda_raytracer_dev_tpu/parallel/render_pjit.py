@@ -136,6 +136,90 @@ def render_sharded_2d(scene: Scene, camera: Camera, config: RenderConfig,
     return RenderOutput(**out)
 
 
+def shard_accel(accel, nprims: int):
+    """Split a ClusterAccel into `nprims` contiguous cluster ranges,
+    stacked on a new leading axis (so shard_map's in_specs can shard it
+    over the "prims" mesh axis). Clusters are in KD-leaf order, so each
+    range is spatially coherent. Padding clusters are inverted-empty boxes
+    (every frustum plane test fails => never a candidate) with zero
+    geometry (det == 0 => never a hit) and slot -1."""
+    from ..accel.traverse import ClusterAccel
+
+    c = accel.num_clusters
+    cp = -(-c // nprims)
+    pad = cp * nprims - c
+    big = jnp.float32(3.0e38)
+
+    def cut(x, fill):
+        if pad:
+            f = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+            x = jnp.concatenate([x, f])
+        return x.reshape(nprims, cp, *x.shape[1:])
+
+    return ClusterAccel(
+        bounds_min=cut(accel.bounds_min, big),
+        bounds_max=cut(accel.bounds_max, -big),
+        centers=cut(accel.centers, 0.0),
+        geom_t=cut(accel.geom_t, 0.0),
+        geom9_t=cut(accel.geom9_t, 0.0),
+        slot_mat=cut(accel.slot_mat, -1),
+        leaf_size=accel.leaf_size,
+    )
+
+
+def render_sharded_2d_accel(scene: Scene, camera: Camera,
+                            config: RenderConfig, mesh: Mesh,
+                            accel) -> RenderOutput:
+    """Accelerated (flagship pallas2/grid) rendering on a 2-D
+    ("rays", "prims") mesh: image rows sharded over "rays", each object's
+    *cluster ranges* sharded over "prims" (`shard_accel`). Every prim
+    shard culls + intersects only its own clusters; the per-ray nearest
+    hit is min-combined across the prim axis (`allreduce_nearest_hit`)
+    and shading runs on the combined hit. This is the accelerated-path
+    generalization of `render_sharded_2d` (which shards raw triangle
+    ranges of the brute path)."""
+    from ..models.renderer import shade_hits, trace_rays
+    from ..ops.shade import compose_framebuffer
+    from .collectives import allreduce_nearest_hit
+    from .mesh import PRIMS_AXIS
+
+    band_h = _check_band(camera, mesh, config)
+    nprims = mesh.shape[PRIMS_AXIS]
+    res_w = camera.res_w
+    rmd = camera.ray_directions().reshape(camera.res_h, res_w, 3)
+    stacked = tuple(shard_accel(a, nprims) for a in accel)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(RAYS_AXIS, None, None), P(PRIMS_AXIS)),
+             out_specs=P(RAYS_AXIS),
+             check_rep=False)
+    def worker(scene_, origin, band, accel_s):
+        accel_local = jax.tree.map(lambda x: x[0], accel_s)
+        d_flat = band.reshape(-1, 3)
+        # tangents stop at the traversal *inputs* (pallas_call defines no
+        # JVP rule — see models/renderer.py render_rays); hit topology is
+        # non-differentiable by design, shading re-derives t.
+        sg = jax.lax.stop_gradient
+        hit = trace_rays(sg(scene_), sg(origin), sg(d_flat), config,
+                         sg(accel_local), band_h, res_w)
+        hit = allreduce_nearest_hit(hit, PRIMS_AXIS)
+        radiance, normal, point, hit_mask = shade_hits(
+            scene_, origin, d_flat, hit, config)
+        image = compose_framebuffer(radiance, hit_mask,
+                                    config.background_rgb)
+        flat = dict(
+            image=image,
+            radiance=jnp.where(hit_mask[..., None], radiance, 0.0),
+            hit_t=hit.t, hit_tri=hit.tri, hit_obj=hit.obj,
+            normal=normal, point=point,
+        )
+        return jax.tree.map(
+            lambda x: x.reshape(band_h, res_w, *x.shape[1:]), flat)
+
+    out = worker(scene, camera.pos, rmd, stacked)
+    return RenderOutput(**out)
+
+
 def radiance_sharded(scene: Scene, camera: Camera, config: RenderConfig,
                      mesh: Mesh, accel=None) -> jax.Array:
     """Differentiable sharded radiance image (H, W, 3) — the loss input."""

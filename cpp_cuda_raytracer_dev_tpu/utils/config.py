@@ -50,6 +50,16 @@ class RenderConfig:
     # be a multiple of 128 (lane slice alignment).
     sub_h: int = 0
     sub_w: int = 0
+    # Candidate-overflow escalation (pallas2): a tile whose frustum sees
+    # more than `max_candidates` clusters would silently drop geometry (the
+    # reference's stack traversal is exact, Trixel.cu:70-169, so dropping
+    # is a parity bug). The `escalate_tiles` worst-overflow tiles are
+    # re-culled exactly (flat cull, no group level) with
+    # `max_candidates * escalate_factor` candidates in a second kernel
+    # pass and their results spliced in. Residual dropped-cluster counts
+    # are reported in stats["overflow"]. 0 = disabled.
+    escalate_tiles: int = 64
+    escalate_factor: int = 4
     # pallas2 telemetry: also return per-tile dynamic candidate-scan counts
     # (intersect_clustered_pallas_v2 then returns (Hit, stats)).
     with_stats: bool = False
