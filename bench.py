@@ -43,6 +43,11 @@ def build_scene(args):
         lo, hi = tv.reshape(-1, 3).min(0), tv.reshape(-1, 3).max(0)
         center = (lo + hi) / 2
         pos = center + np.array([0, 0, -(hi - lo)[2] * 2.2], np.float32)
+    elif args.scene == "clustered":
+        from cpp_cuda_raytracer_dev_tpu.utils.procgen import clustered_mesh
+        tv = clustered_mesh(args.tris)
+        center = np.zeros(3, np.float32)
+        pos = np.array([0.6, 0.25, -2.6], np.float32)   # oblique view
     else:
         tv = dragon_class_mesh(args.tris)
         center = np.zeros(3, np.float32)
@@ -119,7 +124,7 @@ def bench(fn, args_, warmup=2, iters=10):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="dragon-class",
-                   choices=["dragon-class", "rabbit"])
+                   choices=["dragon-class", "rabbit", "clustered"])
     p.add_argument("--tris", type=int, default=800_000)
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
@@ -188,8 +193,39 @@ def main():
     log(f"fwd compile: {time.perf_counter() - t0:.1f}s")
 
     agree = 1.0
+    overflow_stats = None
     if not args.skip_validate:
         agree, hit_rate = validate(scene, camera, config, accel)
+    if args.method == "pallas2":
+        # per-tile candidate telemetry: scanned steps + residual overflow
+        # (clusters a tile saw beyond its budget AFTER escalation — any
+        # nonzero residual means potentially dropped geometry)
+        import dataclasses
+
+        from cpp_cuda_raytracer_dev_tpu.accel.traverse import (
+            intersect_clustered_pallas_v2)
+        scfg = dataclasses.replace(config, with_stats=True)
+        rmd_all = jnp.asarray(camera.ray_directions())
+        _, stats = jax.jit(
+            lambda o_, d_: intersect_clustered_pallas_v2(
+                o_, d_, accel[0], scfg, camera.res_h, camera.res_w)
+        )(jnp.asarray(camera.pos), rmd_all)
+        ovf = np.asarray(stats["overflow"])
+        cnt = np.asarray(stats["count"])
+        steps = np.asarray(stats["steps"])
+        overflow_stats = {
+            "tiles": int(ovf.size),
+            "overflow_tiles_residual": int((ovf > 0).sum()),
+            "overflow_max": int(ovf.max()),
+            "count_mean": float(cnt.mean()),
+            "steps_mean": float(steps.mean()),
+            "steps_hist": np.histogram(
+                steps, bins=[0, 1, 2, 4, 8, 16, 32, 64, 1 << 30]
+            )[0].tolist(),
+        }
+        log(f"overflow: residual_tiles={overflow_stats['overflow_tiles_residual']}"
+            f" max={overflow_stats['overflow_max']}"
+            f" steps_mean={overflow_stats['steps_mean']:.1f}")
 
     dt_f = bench(fwd, (scene, camera), iters=args.iters)
     log(f"forward: {dt_f * 1e3:.2f} ms/frame = {1 / dt_f:.1f} FPS "
@@ -213,6 +249,7 @@ def main():
         "fwd_bwd_ms": dt_fb * 1e3, "fwd_bwd_fps": 1 / dt_fb,
         "fwd_bwd_rays_per_sec": rays_s,
         "oracle_agreement": agree,
+        "overflow_stats": overflow_stats,
         "reference_rays_per_sec_fwd_only": REF_RAYS_PER_SEC,
     }
     with open("BENCH_DETAILS.json", "w") as f:

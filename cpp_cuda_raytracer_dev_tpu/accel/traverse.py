@@ -423,19 +423,21 @@ def _candidate_boxes(o: jax.Array, accel: ClusterAccel, cand: jax.Array,
     certificate, packed into boxes column 6 (SMEM is too small to
     prefetch a (tiles, K) array at fine tile sizes)."""
     k = cand.shape[1]
-    box8 = jnp.concatenate(
-        [accel.bounds_min, accel.bounds_max,
-         jnp.zeros((accel.num_clusters, 2), jnp.float32)], axis=1)  # (C, 8)
-    boxes = jnp.take(box8, cand.reshape(-1), axis=0).reshape(
-        cand.shape[0], k, 8)
+    # one (C, 8) table so candidates need a single row gather: bounds in
+    # cols 0-5, conservative origin->AABB distance in col 6
     gap = jnp.maximum(jnp.maximum(accel.bounds_min - o[None, :],
                                   o[None, :] - accel.bounds_max), 0.0)
     dist_c = jnp.sqrt(jnp.sum(gap * gap, axis=-1))          # (C,)
-    dist = jnp.take(dist_c, cand.reshape(-1)).reshape(cand.shape)
+    box8 = jnp.concatenate(
+        [accel.bounds_min, accel.bounds_max, dist_c[:, None],
+         jnp.zeros((accel.num_clusters, 1), jnp.float32)], axis=1)  # (C, 8)
+    boxes = jnp.take(box8, cand.reshape(-1), axis=0).reshape(
+        cand.shape[0], k, 8)
     kk = jnp.arange(k, dtype=jnp.int32)[None, :]
-    dist = jnp.where(kk < count[:, None], dist, jnp.float32(3.0e38))
-    sufmin = jnp.flip(
-        jax.lax.cummin(jnp.flip(dist, axis=1), axis=1), axis=1)
+    dist = jnp.where(kk < count[:, None], boxes[:, :, 6],
+                     jnp.float32(3.0e38))
+    sufmin = jax.lax.associative_scan(jnp.minimum, dist, reverse=True,
+                                      axis=1)
     return boxes.at[:, :, 6].set(sufmin)
 
 

@@ -46,7 +46,9 @@ _HP = jax.lax.Precision.HIGHEST
 _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
                "high": jax.lax.Precision.HIGH,
                "highest": jax.lax.Precision.HIGHEST}
-_I32_MAX = 2**31 - 1
+# Miss sentinel for the packed winner select: must stay above any real t
+# (and above draw_distance) after its low mantissa bits are zeroed.
+_MISS_T = 3.0e38
 # Prefetch pipeline: depth (how many steps ahead a copy is issued) and
 # buffer count (must exceed depth so a slot is consumed before reuse).
 _DMA_DEPTH = 4
@@ -165,12 +167,26 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
             mvy = tvz * e1x - tvx * e1z
             mvz = tvx * e1y - tvy * e1x
             td_row = e2x * mvx + e2y * mvy + e2z * mvz       # (1, L)
-            td = jnp.transpose(td_row)                       # (L, 1)
 
+            # Epsilon folding (all on (1, L) rows — negligible next to the
+            # (L, sp) epilogue): emit det' = (1-eps)·det, u' = u - eps·det,
+            # v' = v - eps·det from the contraction, so the acceptance
+            # tests below become pure sign tests against det':
+            #   u >= eps        <=>  u'·det' >= 0
+            #   v >= eps        <=>  v'·det' >= 0
+            #   u+v <= 1+eps    <=>  (det' - u' - v')·det' >= 0
+            #   t >= eps        <=>  td·det' - eps·det'² >= 0
+            #   |det| >= eps    <=>  det'² >= ((1-eps)·eps)²
+            # (td below is pre-scaled by (1-eps) so t = td/det' exactly).
+            k1 = 1.0 - eps
+            eps2_det = (k1 * eps) ** 2
+            td = jnp.transpose(td_row) * k1                  # (L, 1)
             m = jnp.concatenate(                             # (3, 3L)
-                [jnp.concatenate([mdx, mdy, mdz], axis=0),
-                 jnp.concatenate([mux, muy, muz], axis=0),
-                 jnp.concatenate([mvx, mvy, mvz], axis=0)], axis=1)
+                [jnp.concatenate([mdx * k1, mdy * k1, mdz * k1], axis=0),
+                 jnp.concatenate([mux - eps * mdx, muy - eps * mdy,
+                                  muz - eps * mdz], axis=0),
+                 jnp.concatenate([mvx - eps * mdx, mvy - eps * mdy,
+                                  mvz - eps * mdz], axis=0)], axis=1)
 
             # Sub-tile predication: rays arrive sub-tile-major, so each
             # sub-tile is a contiguous lane slice. Only sub-tiles where
@@ -194,39 +210,41 @@ def _kernel(cand_ref, count_ref, origin_ref,               # scalar prefetch
                         m, d[:, lo:hi], (((0,), (0,)), ((), ())),
                         precision=_PRECISIONS[mt_precision],
                         preferred_element_type=jnp.float32)
-                    det = out[0 * leaf:1 * leaf]             # (L, sp)
-                    ud = out[1 * leaf:2 * leaf]
-                    vd = out[2 * leaf:3 * leaf]
+                    det1 = out[0 * leaf:1 * leaf]            # (L, sp)
+                    up = out[1 * leaf:2 * leaf]
+                    vp = out[2 * leaf:3 * leaf]
 
-                    # Division-free sign-aware acceptance (padding slots have
-                    # zero geometry => det == 0 => rejected, so no index
-                    # validity test is needed). t only orders hits here — the
-                    # winner's t is recomputed exactly in shade_hits
-                    # (models/renderer.py), so the cheap approx reciprocal
-                    # is enough.
-                    s = jnp.where(det >= 0.0, 1.0, -1.0)
-                    ad = det * s
-                    uds = ud * s
-                    vds = vd * s
-                    tds = td * s                             # (L, sp)
-                    eps_ad = eps * ad
-                    ok = ((ad >= eps) & (uds >= eps_ad) & (vds >= eps_ad)
-                          & (uds + vds <= ad + eps_ad) & (tds >= eps_ad))
+                    # Division-free acceptance as a min of sign products
+                    # against det' (padding slots have zero geometry =>
+                    # det' == 0 => the |det| test rejects them). One fused
+                    # min-tree replaces the r1 kernel's sign-normalize +
+                    # 5-compare/4-and chain.
+                    dd2 = det1 * det1
+                    q = jnp.minimum(up * det1, vp * det1)
+                    q = jnp.minimum(q, (det1 - up - vp) * det1)
+                    q = jnp.minimum(q, td * det1 - eps * dd2)
+                    ok = (q >= 0.0) & (dd2 >= eps2_det)
                     # approx reciprocal (~2^-8) + one Newton step (~1e-5
                     # relative): orders of magnitude cheaper than the exact
                     # divide, tight enough for nearest-hit selection and the
-                    # raw depth output.
-                    r = pl.reciprocal(ad, approx=True)
-                    r = r * (2.0 - ad * r)
-                    tt = tds * r
-                    tt = jnp.where(ok, tt, draw_distance)
+                    # raw depth output. t = td/det' is sign-correct without
+                    # normalization.
+                    r = pl.reciprocal(det1, approx=True)
+                    r = r * (2.0 - det1 * r)
+                    tt = jnp.where(ok, td * r, _MISS_T)      # (L, sp)
 
-                    tmin = jnp.min(tt, axis=0, keepdims=True)
-                    slot_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, tt.shape, 0)
-                    win = jnp.min(
-                        jnp.where(tt <= tmin, slot_iota, _I32_MAX),
-                        axis=0, keepdims=True)
+                    # Winner select in ONE reduction: t is positive for
+                    # every accepted slot, so its f32 bits order like the
+                    # value; zero the low 7 mantissa bits (2^-17 relative
+                    # depth quantization) and pack the slot id there.
+                    key = jax.lax.bitcast_convert_type(tt, jnp.int32)
+                    key = ((key & ~(leaf - 1))
+                           | jax.lax.broadcasted_iota(jnp.int32,
+                                                      tt.shape, 0))
+                    kmin = jnp.min(key, axis=0, keepdims=True)  # (1, sp)
+                    win = kmin & (leaf - 1)
+                    tmin = jax.lax.bitcast_convert_type(
+                        kmin & ~(leaf - 1), jnp.float32)
                     enc = k * leaf + win                     # (1, sp)
 
                     cur_t = out_t_ref[0, :, lo:hi]           # (1, sp)

@@ -47,3 +47,31 @@ def dragon_class_mesh(num_tris: int = 800_000, seed: int = 0) -> np.ndarray:
     lat = int(np.sqrt(num_tris / 4))
     lon = int(np.ceil(num_tris / (2 * lat)))
     return uv_sphere(lat, lon, roughness=0.03, seed=seed)
+
+
+def clustered_mesh(num_tris: int = 800_000, seed: int = 0,
+                   blobs: int = 24) -> np.ndarray:
+    """Adversarially *uneven* triangle density: a coarse base sphere
+    (~20% of triangles) studded with `blobs` tiny, very finely tessellated
+    spheres (~80%). Tiles seeing a blob face thousands of primitives in a
+    handful of clusters while base-sphere tiles see few — the regime where
+    a fixed per-tile candidate budget (max_candidates) overflows and where
+    uniform meshes (uv_sphere) flatter the cull (VERDICT r1 weak: the
+    bench sphere's uniform depth complexity)."""
+    rng = np.random.default_rng(seed)
+    base_n = max(num_tris // 5, 1000)
+    lat = max(int(np.sqrt(base_n / 4)), 4)
+    lon = max(int(np.ceil(base_n / (2 * lat))), 4)
+    parts = [uv_sphere(lat, lon, radius=1.0, roughness=0.02, seed=seed)]
+
+    per_blob = (num_tris - parts[0].shape[0]) // blobs
+    blat = max(int(np.sqrt(per_blob / 4)), 4)
+    blon = max(int(np.ceil(per_blob / (2 * blat))), 4)
+    for b in range(blobs):
+        u = rng.standard_normal(3)
+        u /= np.linalg.norm(u)
+        r_blob = 0.05 + 0.08 * rng.random()
+        blob = uv_sphere(blat, blon, radius=r_blob, roughness=0.05,
+                         seed=seed + 1 + b)
+        parts.append(blob + (u * (1.0 + 0.5 * r_blob)).astype(np.float32))
+    return np.concatenate(parts, axis=0)
