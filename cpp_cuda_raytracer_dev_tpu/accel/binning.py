@@ -1,0 +1,196 @@
+"""Screen-space tile binning — the TPU-native cull for primary rays.
+
+The reference traverses a KD tree per ray (``TEST_Dungeonrun/Trixel.cu:
+41-172``): work scales with per-ray divergent node visits. On a vector
+machine the frustum-vs-cluster-AABB cull (accel/traverse.py) replaces that,
+but measured at dragon scale it still tests ~1500 ray-triangle pairs per
+ray — cluster AABBs are loose in depth and each 128-triangle cluster
+charges every ray of a tile. For *primary* rays (all through one origin —
+exactly the reference's rendering model, 1 ray/pixel, no bounces) there is
+an exact, massively cheaper cull: **project every triangle once and bin it
+to the image tiles its screen bbox overlaps** (one matmul + one sort —
+MXU/XLA-native), then intersect each tile only against its own bin,
+front-to-back. A pixel's ray can only hit a triangle whose projection
+covers that pixel, so binning by projected bbox (+guard) is conservative:
+it never drops a hittable pair.
+
+Per object and frame (all traced, so animation/camera updates are free):
+
+1.  project the 3 vertices through `Projection` (models/camera.py) into
+    subpixel coords; a = forward depth along the view axis;
+2.  pixel bbox (+0.5 px guard) -> tile range; triangles crossing the
+    camera plane (some vertex behind) bin to every tile (conservative,
+    none in practice when the camera is outside the mesh); fully-behind
+    or offscreen triangles drop;
+3.  expand triangle -> (tile, tri) entries without scatters: exclusive
+    cumsum of per-tri tile counts + one searchsorted recovers, for each
+    flat entry index, which triangle it belongs to (static E_cap bound,
+    overflow counted and reported);
+4.  one 32-bit key sort orders entries by (tile, quantized min-depth):
+    tile segments come out contiguous AND front-to-back — the kernel's
+    early-exit order, with the entry's own depth as the exit certificate
+    (t_hit >= min over the tri of (p-origin)·n for unit rays);
+5.  entry geometry is gathered once into a (10, E) table (p1|e1|e2 rows +
+    the depth-certificate row) that the kernel streams sequentially per
+    tile — no per-candidate indirection, no index tables in SMEM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+BIG = 3.0e38   # python float: a concrete jnp constant at module
+               # level breaks tracing inside shard_map bodies
+
+
+class BinnedScene(struct.PyTreeNode):
+    """Per-frame, per-object binning output (traced values)."""
+
+    geom: jax.Array      # (Epad/chunk, 10, chunk) f32 blocks:
+                         #   p1(3) | e1(3) | e2(3) | depth(1) rows
+    entry_tri: jax.Array  # (Epad,) i32 triangle id per entry (-1 padding)
+    starts: jax.Array    # (nT + 1,) i32 entry range per tile
+    qstep: jax.Array     # scalar f32 depth-quantization bucket width
+    # diagnostics (per frame)
+    num_entries: jax.Array      # scalar i32 — total live entries
+    overflow_entries: jax.Array  # scalar i32 — entries dropped past E_cap
+    cross_tris: jax.Array       # scalar i32 — camera-plane-crossing tris
+
+
+def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
+                  res_h: int, res_w: int, th: int, tw: int,
+                  e_cap: int, chunk: int = 128) -> BinnedScene:
+    """Bin triangles (object frame) to (th x tw) pixel tiles.
+
+    proj: Projection already transformed into the object frame.
+    Returns entries sorted by (tile, quantized depth), geometry gathered
+    in entry order. e_cap bounds total entries (static shape).
+    """
+    f32 = jnp.float32
+    t_n = p1.shape[0]
+    n_tx = -(-res_w // tw)
+    n_ty = -(-res_h // th)
+    n_tiles = n_tx * n_ty
+
+    verts = jnp.stack([p1, p1 + e1, p1 + e2], axis=1)       # (T, 3, 3)
+    rel = verts - proj.origin[None, None, :]
+    a = jnp.einsum("tvc,c->tv", rel, proj.n)                # (T, 3) depth
+    b = jnp.einsum("tvc,c->tv", rel, proj.u)
+    c = jnp.einsum("tvc,c->tv", rel, proj.v)
+
+    front = a > 0.0
+    all_front = jnp.all(front, axis=1)
+    any_front = jnp.any(front, axis=1)
+    cross = any_front & ~all_front                          # (T,)
+
+    a_safe = jnp.maximum(a, 1e-20)
+    px = proj.adjust_x + proj.sx * (b / a_safe)             # (T, 3)
+    py = proj.adjust_y + proj.sy * (c / a_safe)
+
+    guard = 0.5
+    x0 = jnp.min(px, axis=1) - guard
+    x1 = jnp.max(px, axis=1) + guard
+    y0 = jnp.min(py, axis=1) - guard
+    y1 = jnp.max(py, axis=1) + guard
+    # camera-plane crossers: conservative full-screen bbox
+    x0 = jnp.where(cross, 0.0, x0)
+    y0 = jnp.where(cross, 0.0, y0)
+    x1 = jnp.where(cross, f32(res_w - 1), x1)
+    y1 = jnp.where(cross, f32(res_h - 1), y1)
+
+    ix0 = jnp.clip(jnp.ceil(x0), 0, res_w - 1).astype(jnp.int32)
+    ix1 = jnp.floor(jnp.clip(x1, 0, res_w - 1)).astype(jnp.int32)
+    iy0 = jnp.clip(jnp.ceil(y0), 0, res_h - 1).astype(jnp.int32)
+    iy1 = jnp.floor(jnp.clip(y1, 0, res_h - 1)).astype(jnp.int32)
+    onscreen = (any_front & (x1 >= 0) & (x0 <= res_w - 1)
+                & (y1 >= 0) & (y0 <= res_h - 1)
+                & (ix1 >= ix0) & (iy1 >= iy0))
+
+    tx0 = ix0 // tw
+    ty0 = iy0 // th
+    ntx = jnp.where(onscreen, ix1 // tw - tx0 + 1, 0)       # (T,)
+    nty = jnp.where(onscreen, iy1 // th - ty0 + 1, 0)
+    ntiles_tri = ntx * nty
+
+    # ---- scatter-free expansion: entry j -> (tri, si) ----
+    cum = jnp.cumsum(ntiles_tri)                            # inclusive
+    e_tot = cum[-1]
+    j = jnp.arange(e_cap, dtype=jnp.int32)
+    tri_j = jnp.searchsorted(cum, j, side="right",
+                             method="sort").astype(jnp.int32)
+    valid = j < jnp.minimum(e_tot, e_cap)
+    tri_j = jnp.minimum(tri_j, t_n - 1)
+
+    # ---- (tile, depth) key sort ----
+    # one i32 key: tile id in the high bits, quantized depth in however
+    # many bits remain (depth only orders the scan front-to-back — the
+    # exact per-entry depth rides the geometry table as the certificate)
+    dbits = 31 - n_tiles.bit_length()
+    if dbits < 6:
+        raise ValueError(f"{n_tiles} tiles leaves only {dbits} depth bits; "
+                         "use larger tiles")
+    dmax = (1 << dbits) - 1
+    depth = jnp.min(jnp.where(front, a, BIG), axis=1)       # (T,)
+    depth = jnp.maximum(depth, 0.0)
+    d_lo = jnp.min(jnp.where(onscreen, depth, BIG))
+    d_hi = jnp.max(jnp.where(onscreen & jnp.isfinite(depth), depth, 0.0))
+    scale = f32(dmax) / jnp.maximum(d_hi - d_lo, 1e-20)
+    # clamp in INT space: a large dmax (e.g. 2^25-1) is not representable
+    # in f32, so a float clip bound rounds UP to 2^dbits and the quantized
+    # depth overflows into the tile bits (measured: entries landing in the
+    # wrong tile segment)
+    dq = jnp.clip(
+        jnp.maximum((depth - d_lo) * scale, 0.0).astype(jnp.int32),
+        0, dmax)
+
+    # per-entry values via ONE packed (T, 6) gather (TPU row gathers at
+    # E=~1-2M rows dominate the prepass; 6 separate takes measured ~6x the
+    # cost of one packed take)
+    itab = jnp.stack([cum, ntiles_tri, ntx, tx0, ty0, dq], axis=1)
+    ient = jnp.take(itab, tri_j, axis=0)                    # (E, 6)
+    si = j - ient[:, 0] + ient[:, 1]
+    ntx_j = jnp.maximum(ient[:, 2], 1)
+    dx = si % ntx_j
+    dy = si // ntx_j
+    tile_j = (ient[:, 4] + dy) * n_tx + ient[:, 3] + dx     # (E,)
+
+    key = jnp.where(valid,
+                    (tile_j << dbits) | ient[:, 5],
+                    jnp.int32(2**31 - 1))
+    key, tri_sorted = jax.lax.sort((key, tri_j), num_keys=1)
+    tri_sorted = jnp.where(key == 2**31 - 1, -1, tri_sorted)
+
+    # ---- per-tile segment starts ----
+    tile_targets = jnp.arange(n_tiles + 1, dtype=jnp.int32) << dbits
+    starts = jnp.searchsorted(key, tile_targets, side="left",
+                              method="sort").astype(jnp.int32)
+
+    # ---- entry geometry in sorted order, chunk-blocked for the kernel
+    # (the kernel DMAs whole (10, chunk) blocks at block granularity;
+    # a tile's first/last block may carry neighboring tiles' entries —
+    # they are real scene geometry, so testing them is harmless) ----
+    epad = e_cap + chunk                  # kernel chunk reads never OOB
+    safe = jnp.maximum(tri_sorted, 0)
+    live = (tri_sorted >= 0)[:, None]
+    ftab = jnp.concatenate([p1, e1, e2, depth[:, None]], axis=1)  # (T, 10)
+    rows = jnp.take(ftab, safe, axis=0)                     # one gather
+    rows = jnp.where(live, rows,
+                     jnp.concatenate([jnp.zeros((9,), jnp.float32),
+                                      jnp.full((1,), BIG, jnp.float32)]))
+    pad = jnp.concatenate(
+        [jnp.zeros((chunk, 9), jnp.float32),
+         jnp.full((chunk, 1), BIG, jnp.float32)], axis=1)
+    rows = jnp.concatenate([rows, pad], axis=0)             # (Epad, 10)
+    geom = rows.reshape(epad // chunk, chunk, 10).transpose(0, 2, 1)
+    entry_tri = jnp.concatenate(
+        [tri_sorted, jnp.full((chunk,), -1, jnp.int32)])
+
+    return BinnedScene(
+        geom=geom, entry_tri=entry_tri, starts=starts,
+        qstep=jnp.maximum(d_hi - d_lo, 1e-20) / f32(dmax),
+        num_entries=jnp.minimum(e_tot, e_cap).astype(jnp.int32),
+        overflow_entries=jnp.maximum(e_tot - e_cap, 0).astype(jnp.int32),
+        cross_tris=jnp.sum(cross.astype(jnp.int32)),
+    )

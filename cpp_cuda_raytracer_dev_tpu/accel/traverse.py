@@ -529,6 +529,72 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     return hit
 
 
+def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
+                     config: RenderConfig, res_h: int, res_w: int,
+                     interpret: bool | None = None):
+    """Gen-3 perf path: screen-space tile binning (accel/binning.py) +
+    sequential-streaming tile kernel (ops/pallas/bin_kernel.py).
+
+    ``proj`` is the camera Projection already transformed into the
+    object's frame; ``o``/``d`` are the object-frame origin and (R, 3)
+    unit ray dirs (row-major). Unlike the cluster path there is no
+    per-tile candidate budget: bins are exact, so the only capacity
+    limit is the global entry table (config.bin_e_factor).
+    """
+    from ..accel.binning import bin_triangles
+    from ..ops.pallas.bin_kernel import pallas_bin_intersect
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    th, tw = config.tile_h, config.tile_w
+    sh, sw = config.sub_h, config.sub_w
+    chunk = config.bin_chunk
+    t_n = tris.p1.shape[0]
+    e_cap = int(t_n * config.bin_e_factor) + 8192
+    e_cap = -(-e_cap // chunk) * chunk
+
+    tiles, meta = _tile_rays(d, res_h, res_w, th, tw, sh, sw)  # (nT, P, 3)
+    sh, sw = meta[6], meta[7]
+    n_sub = (th // sh) * (tw // sw) if (sh and sw) else 1
+    d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
+
+    binned = bin_triangles(proj, tris.p1, tris.e1, tris.e2,
+                           res_h + meta[4], res_w + meta[5], th, tw,
+                           e_cap=e_cap, chunk=chunk)
+
+    # root AABB for the kernel's per-ray bound + the depth quantization
+    # step for the exit certificate
+    v = jnp.stack([tris.p1, tris.p1 + tris.e1, tris.p1 + tris.e2], axis=1)
+    bmin = jnp.min(v.reshape(-1, 3), axis=0)
+    bmax = jnp.max(v.reshape(-1, 3), axis=0)
+    origin10 = jnp.concatenate([o, bmin, bmax, binned.qstep[None]])
+
+    t_tiles, enc_tiles, steps = pallas_bin_intersect(
+        d_tiles, binned.starts, origin10, binned.geom, chunk=chunk,
+        eps=config.eps, draw_distance=config.draw_distance, n_sub=n_sub,
+        mt_precision=config.mt_precision, interpret=interpret)
+
+    # decode: block-relative winner -> global entry -> triangle id (the
+    # kernel scans whole chunk-blocks from the one containing starts[t])
+    n_tiles = d_tiles.shape[0]
+    entry = ((binned.starts[:n_tiles, None] // chunk) * chunk
+             + jnp.maximum(enc_tiles, 0))
+    entry = jnp.minimum(entry, binned.entry_tri.shape[0] - 1)
+    tri = jnp.take(binned.entry_tri, entry)
+    tri_tiles = jnp.where(enc_tiles >= 0, tri, -1)
+
+    t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
+    tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)
+    hit = Hit(t=t_flat, tri=tri_flat,
+              obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
+    if config.with_stats:
+        return hit, {"steps": steps[:, 0], "chunks": steps[:, 1],
+                     "overflow": binned.overflow_entries,
+                     "entries": binned.num_entries,
+                     "cross": binned.cross_tris}
+    return hit
+
+
 class KDTables(struct.PyTreeNode):
     """Device-resident flattened KD tree (any leaf width) — the analogue of
     the per-camera voxel tables built by init_cam_voxel_mem_cuda

@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--out", default="frame.png")
     p.add_argument("--res", type=int, nargs=2, default=[960, 540])
     p.add_argument("--method", default="pallas",
-                   choices=["brute", "fixed", "grid", "pallas", "pallas2", "kd"])
+                   choices=["brute", "fixed", "grid", "pallas", "pallas2", "kd", "bin"])
     p.add_argument("--leaf-size", type=int, default=64)
     p.add_argument("--max-candidates", type=int, default=48)
     p.add_argument("--pos", type=float, nargs=3, default=None)

@@ -29,6 +29,30 @@ from flax import struct
 from ..ops import vecmath
 
 
+class Projection(struct.PyTreeNode):
+    """World-point -> subpixel-coordinate map (the inverse of ray gen):
+    ix = adjust_x + sx·((p-origin)·u)/((p-origin)·n), iy likewise with
+    (v, sy). Rotate (n, u, v) and origin into an object's frame with
+    `transformed` to project object-space geometry directly."""
+
+    origin: jax.Array   # (3,)
+    n: jax.Array        # (3,) view direction (unit)
+    u: jax.Array        # (3,) screen-right (unit)
+    v: jax.Array        # (3,) screen-up (unit)
+    sx: jax.Array       # scalar focal/pix_w
+    sy: jax.Array       # scalar focal/pix_h
+    adjust_x: jax.Array  # scalar pixel-center offset
+    adjust_y: jax.Array
+
+    def transformed(self, pose) -> "Projection":
+        """This projection expressed in an object's local frame (the
+        pose-on-the-ray trick, Trixel.cu:60-66, applied to the cull)."""
+        return self.replace(origin=pose.inv_apply(self.origin),
+                            n=pose.inv_apply_vec(self.n),
+                            u=pose.inv_apply_vec(self.u),
+                            v=pose.inv_apply_vec(self.v))
+
+
 class Camera(struct.PyTreeNode):
     pos: jax.Array        # (3,)
     look_at: jax.Array    # (3,)
@@ -79,6 +103,23 @@ class Camera(struct.PyTreeNode):
         adjust_y = self.res_h // 2 - (0.5 if self.res_h % 2 == 0 else 0.0)
         n_mod = n * self.focal - v_mod * adjust_y - u_mod * adjust_x
         return n_mod, u_mod, v_mod
+
+    def projection(self) -> "Projection":
+        """Inverse of ray generation: the constants that map a world point
+        to its (sub)pixel coordinates. A point p with camera-basis
+        components a = (p-pos)·n, b = ·u, c = ·v projects to
+        ix = adjust_x + (b/a)·focal/pix_w (iy likewise) — the exact inverse
+        of ray(ix, iy) = focal·n + pix_w(ix-adjust_x)·u + pix_h(iy-adjust_y)·v
+        (see ray_mods / Camera.cpp:61-67). Used by the screen-space binning
+        cull (accel/binning.py)."""
+        n, u, v = self.basis()
+        pix_w, pix_h = self.pixel_pitch()
+        adjust_x = self.res_w // 2 - (0.5 if self.res_w % 2 == 0 else 0.0)
+        adjust_y = self.res_h // 2 - (0.5 if self.res_h % 2 == 0 else 0.0)
+        return Projection(origin=self.pos, n=n, u=u, v=v,
+                          sx=self.focal / pix_w, sy=self.focal / pix_h,
+                          adjust_x=jnp.asarray(adjust_x, self.pos.dtype),
+                          adjust_y=jnp.asarray(adjust_y, self.pos.dtype))
 
     def ray_directions(self) -> jax.Array:
         """All primary ray directions, flat (H*W, 3), row iy=0 = bottom.

@@ -50,13 +50,19 @@ class RenderOutput(struct.PyTreeNode):
 
 def trace_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
                config: RenderConfig, accel=None,
-               band_h: int | None = None, band_w: int | None = None) -> Hit:
+               band_h: int | None = None, band_w: int | None = None,
+               proj=None) -> Hit:
     """Nearest hit over all objects. ``rmd``: (R, 3) world unit dirs from
     shared ``origin``; band_h*band_w == R (row-major) for the tiled path.
+    ``proj``: camera Projection (world frame), required by method="bin".
 
     Pose-on-the-ray trick (Trixel.cu:60-66): geometry stays in its
     build-time frame; each object transforms the rays instead.
     """
+    if config.with_stats:
+        raise ValueError("with_stats makes the intersect paths return "
+                         "(Hit, stats); call intersect_clustered_pallas_v2 "
+                         "/ intersect_binned directly for telemetry")
     best = Hit.miss(rmd.shape[0], config.draw_distance, rmd.dtype)
     for oi, obj in enumerate(scene.objects):
         d_obj = obj.pose.inv_apply_vec(rmd)
@@ -80,6 +86,14 @@ def trace_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
             from ..accel.traverse import intersect_clustered_pallas_v2
             hit = intersect_clustered_pallas_v2(o_obj, d_obj, accel[oi],
                                                 config, band_h, band_w)
+        elif config.method == "bin":
+            from ..accel.traverse import intersect_binned
+            if proj is None:
+                raise ValueError('method="bin" needs the camera '
+                                 "Projection (render() provides it)")
+            hit = intersect_binned(o_obj, d_obj, obj.tris,
+                                   proj.transformed(obj.pose), config,
+                                   band_h, band_w)
         elif config.method == "kd":
             from ..accel.traverse import kd_intersect
             hit = kd_intersect(o_obj, d_obj, accel[oi],
@@ -139,7 +153,8 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
 
 def render_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
                 config: RenderConfig, accel=None,
-                band_h: int | None = None, band_w: int | None = None):
+                band_h: int | None = None, band_w: int | None = None,
+                proj=None):
     """Flat-ray pipeline (trace + shade + compose); the shard_map worker.
 
     Returns a dict of flat per-ray arrays.
@@ -152,7 +167,8 @@ def render_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
     # tangents would make jax.grad's linearization fail on pallas_call.
     sg = jax.lax.stop_gradient
     hit = trace_rays(sg(scene), sg(origin), sg(rmd), config,
-                     sg(accel), band_h, band_w)
+                     sg(accel), band_h, band_w,
+                     None if proj is None else sg(proj))
     radiance, normal, point, hit_mask = shade_hits(
         scene, origin, rmd, hit, config)
     image = compose_framebuffer(radiance, hit_mask, config.background_rgb)
@@ -172,8 +188,9 @@ def render(scene: Scene, camera: Camera,
         frame = jax.jit(render, static_argnums=2)(scene, camera, config)
     """
     rmd = camera.ray_directions()                     # (R, 3)
+    proj = camera.projection() if config.method == "bin" else None
     flat = render_rays(scene, camera.pos, rmd, config, accel,
-                       camera.res_h, camera.res_w)
+                       camera.res_h, camera.res_w, proj=proj)
     h, w = camera.res_h, camera.res_w
 
     def shape(x):

@@ -46,14 +46,23 @@ def render_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     """
     band_h = _check_band(camera, mesh, config)
     rmd = camera.ray_directions().reshape(camera.res_h, camera.res_w, 3)
+    proj = camera.projection() if config.method == "bin" else None
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(RAYS_AXIS, None, None)),
              out_specs=P(RAYS_AXIS),
              check_rep=False)
     def worker(scene_, origin, band):
+        proj_band = None
+        if proj is not None:
+            # the band's pixel rows start at row0 = index*band_h; the
+            # projection's iy offset shifts accordingly (pixel coords are
+            # affine, so band windows are just an adjust_y shift)
+            row0 = jax.lax.axis_index(RAYS_AXIS) * band_h
+            proj_band = proj.replace(
+                adjust_y=proj.adjust_y - row0.astype(proj.adjust_y.dtype))
         flat = render_rays(scene_, origin, band.reshape(-1, 3), config,
-                           accel, band_h, camera.res_w)
+                           accel, band_h, camera.res_w, proj=proj_band)
         return jax.tree.map(
             lambda x: x.reshape(band_h, camera.res_w, *x.shape[1:]), flat)
 

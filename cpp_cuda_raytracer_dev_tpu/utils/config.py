@@ -70,6 +70,13 @@ class RenderConfig:
     # MXU precision for the MT (det|u|v) contraction: "default" (1 bf16
     # pass), "high" (3 passes), "highest" (6 passes, exact f32).
     mt_precision: str = "highest"
+    # --- screen-space binning path (method="bin", accel/binning.py) ---
+    # Entry-table chunk streamed per kernel step (power of two).
+    bin_chunk: int = 128
+    # Static entry capacity = bin_e_factor * num_triangles + 8192 (each
+    # triangle bins to every tile its projected bbox overlaps; overflow is
+    # counted in stats and means dropped geometry — raise the factor).
+    bin_e_factor: float = 3.0
     # Shading gather VJP: True = scatter-free sort+cumsum transpose
     # (ops/gather.py, ~35x faster at dragon scale), False = XLA's default
     # scatter-add (kept for A/B validation of the custom VJP).

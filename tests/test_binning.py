@@ -1,0 +1,139 @@
+"""Screen-space binning cull (accel/binning.py) + bin kernel
+(ops/pallas/bin_kernel.py, interpret mode on CPU).
+
+The critical property is *conservativeness*: a pixel's ray can only hit a
+triangle whose projection covers that pixel, so the triangle must be in
+the pixel's tile bin — binning may over-include (harmless: extra MT
+tests) but must never drop a hittable pair. The reference's KD traversal
+is exact (Trixel.cu:70-169); so must the cull be.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpp_cuda_raytracer_dev_tpu import (Camera, RenderConfig, Scene,
+                                        SceneObject, Triangles, render)
+from cpp_cuda_raytracer_dev_tpu.accel.binning import bin_triangles
+from cpp_cuda_raytracer_dev_tpu.io import ply
+from cpp_cuda_raytracer_dev_tpu.ops.quaternion import Pose, from_axis_angle
+
+RES_W, RES_H, TH, TW = 128, 64, 16, 16
+
+
+@pytest.fixture(scope="module")
+def tester(tester_path):
+    mesh = ply.load_mesh(tester_path)
+    tris = Triangles.from_vertices(mesh.tri_vertices)
+    v = mesh.tri_vertices.reshape(-1, 3)
+    lo, hi = v.min(0), v.max(0)
+    center, size = (lo + hi) / 2, float(np.linalg.norm(hi - lo))
+    return tris, center, size
+
+
+def _camera(center, size, off):
+    return Camera.create(RES_W, RES_H, pos=center + np.asarray(off),
+                         look_at=center, up=[0, 1, 0], film_h=0.024,
+                         focal=0.055)
+
+
+@pytest.mark.parametrize("off_scale", [
+    (0.0, 0.0, -1.3), (0.5, 0.1, 0.5), (0.0, 0.0, 0.3), (-0.7, 0.4, -0.4)])
+def test_binning_conservative(tester, off_scale):
+    """Every oracle hit's triangle must be in the pixel's tile bin."""
+    tris, center, size = tester
+    scene = Scene.create([SceneObject.create(tris)])
+    cam = _camera(center, size, np.asarray(off_scale) * size)
+    dd = max(400.0, 10 * size)
+    hit_tri = np.asarray(render(scene, cam, RenderConfig(
+        method="fixed", chunk=512, draw_distance=dd)).hit_tri)
+
+    binned = bin_triangles(cam.projection(), tris.p1, tris.e1, tris.e2,
+                           RES_H, RES_W, TH, TW,
+                           e_cap=tris.num_triangles * 8 + 4096)
+    assert int(binned.overflow_entries) == 0
+    starts = np.asarray(binned.starts)
+    et = np.asarray(binned.entry_tri)
+    n_tx = -(-RES_W // TW)
+
+    ys, xs = np.nonzero(hit_tri >= 0)
+    assert len(ys) > 100
+    misses = 0
+    for iy, ix in zip(ys, xs):
+        tile = (iy // TH) * n_tx + (ix // TW)
+        if hit_tri[iy, ix] not in et[starts[tile]:starts[tile + 1]]:
+            misses += 1
+    assert misses == 0, f"{misses}/{len(ys)} hit pairs dropped by binning"
+
+
+def test_binning_depth_sorted_within_tile(tester):
+    """Entries within a tile must come out front-to-back (the kernel's
+    early-exit order) up to the quantization step."""
+    tris, center, size = tester
+    cam = _camera(center, size, [0, 0, -1.3 * size])
+    binned = bin_triangles(cam.projection(), tris.p1, tris.e1, tris.e2,
+                           RES_H, RES_W, TH, TW,
+                           e_cap=tris.num_triangles * 8 + 4096)
+    starts = np.asarray(binned.starts)
+    depth = np.asarray(binned.geom)[:, 9, :].reshape(-1)
+    qstep = float(binned.qstep)
+    for t in range(len(starts) - 1):
+        seg = depth[starts[t]:starts[t + 1]]
+        if len(seg) > 1:
+            assert (np.diff(seg) >= -qstep - 1e-6).all()
+
+
+@pytest.mark.parametrize("off_scale", [(0.0, 0.0, -1.3), (0.5, 0.1, 0.5)])
+def test_bin_render_matches_oracle(tester, off_scale):
+    tris, center, size = tester
+    scene = Scene.create([SceneObject.create(tris)])
+    cam = _camera(center, size, np.asarray(off_scale) * size)
+    dd = max(400.0, 10 * size)
+    ref = render(scene, cam, RenderConfig(method="fixed", chunk=512,
+                                          draw_distance=dd))
+    out = render(scene, cam, RenderConfig(method="bin", tile_h=TH,
+                                          tile_w=TW, bin_chunk=64,
+                                          draw_distance=dd))
+    rt, bt = np.asarray(ref.hit_tri), np.asarray(out.hit_tri)
+    agree = (rt == bt).mean()
+    assert agree > 0.995, f"agreement {agree}"
+    m = (rt >= 0) & (rt == bt)
+    np.testing.assert_allclose(np.asarray(out.hit_t)[m],
+                               np.asarray(ref.hit_t)[m],
+                               rtol=3e-4, atol=1e-4)
+
+
+def test_bin_render_posed_object(tester):
+    """Projection must follow the object pose (pose-on-the-cull)."""
+    tris, center, size = tester
+    pose = Pose(quat=from_axis_angle(jnp.array([0.0, 1.0, 0.0]), 0.7),
+                translation=jnp.array([0.2, -0.1, 0.3]) * size)
+    scene = Scene.create([SceneObject.create(tris, pose)])
+    cam = _camera(center, size, [0, 0, -1.5 * size])
+    dd = max(400.0, 10 * size)
+    ref = render(scene, cam, RenderConfig(method="fixed", chunk=512,
+                                          draw_distance=dd))
+    out = render(scene, cam, RenderConfig(method="bin", tile_h=TH,
+                                          tile_w=TW, bin_chunk=64,
+                                          draw_distance=dd))
+    rt, bt = np.asarray(ref.hit_tri), np.asarray(out.hit_tri)
+    assert (rt >= 0).mean() > 0.1
+    agree = (rt == bt).mean()
+    assert agree > 0.995, f"agreement {agree}"
+
+
+def test_bin_grad_flows(tester):
+    tris, center, size = tester
+    scene = Scene.create([SceneObject.create(tris)])
+    cam = _camera(center, size, [0, 0, -1.3 * size])
+    dd = max(400.0, 10 * size)
+    cfg = RenderConfig(method="bin", tile_h=TH, tile_w=TW, bin_chunk=64,
+                       draw_distance=dd)
+
+    def loss(s):
+        return jnp.mean(render(s, cam, cfg).radiance)
+
+    g = jax.grad(loss)(scene)
+    leaves = [np.abs(np.asarray(x)).max() for x in jax.tree.leaves(g.phong)]
+    assert np.isfinite(leaves).all() and max(leaves) > 0

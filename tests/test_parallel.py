@@ -188,3 +188,18 @@ def test_pallas2_prim_sharded_grad_runs(tester_setup):
     g = jax.grad(loss)(sc)
     leaves = [np.abs(np.asarray(x)).max() for x in jax.tree.leaves(g.phong)]
     assert np.isfinite(leaves).all() and max(leaves) > 0
+
+
+def test_bin_method_rays_sharded_matches_single(tester_setup):
+    """The binning path must run inside shard_map: each band re-bins with
+    an adjust_y-shifted projection (affine pixel coords => band windows
+    are a projection shift)."""
+    import dataclasses
+    sc, cam, accel, cfg = tester_setup
+    bcfg = dataclasses.replace(cfg, method="bin", tile_h=4, tile_w=32,
+                               bin_chunk=64)
+    m = pmesh.make_mesh(4)
+    out_s = render_sharded(sc, cam, bcfg, m)
+    out_1 = render(sc, cam, bcfg)
+    agree = (np.asarray(out_s.hit_tri) == np.asarray(out_1.hit_tri)).mean()
+    assert agree > 0.999, f"agreement {agree}"
