@@ -74,11 +74,19 @@ def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
     n_ty = -(-res_h // th)
     n_tiles = n_tx * n_ty
 
-    verts = jnp.stack([p1, p1 + e1, p1 + e2], axis=1)       # (T, 3, 3)
-    rel = verts - proj.origin[None, None, :]
-    a = jnp.einsum("tvc,c->tv", rel, proj.n)                # (T, 3) depth
-    b = jnp.einsum("tvc,c->tv", rel, proj.u)
-    c = jnp.einsum("tvc,c->tv", rel, proj.v)
+    # project all 3 verts via three (T,3)@(3,3) matmuls on the shared basis
+    # (an einsum over a stacked (T,3,3) measured 4.9 ms at 800k tris — the
+    # materialized stack + per-vertex contractions are all HBM traffic)
+    basis = jnp.stack([proj.n, proj.u, proj.v], axis=1)     # (3, 3)
+    abc0 = (p1 - proj.origin[None, :]) @ basis              # (T, 3)
+    dabc1 = e1 @ basis
+    dabc2 = e2 @ basis
+    a = jnp.stack([abc0[:, 0], abc0[:, 0] + dabc1[:, 0],
+                   abc0[:, 0] + dabc2[:, 0]], axis=1)       # (T, 3) depth
+    b = jnp.stack([abc0[:, 1], abc0[:, 1] + dabc1[:, 1],
+                   abc0[:, 1] + dabc2[:, 1]], axis=1)
+    c = jnp.stack([abc0[:, 2], abc0[:, 2] + dabc1[:, 2],
+                   abc0[:, 2] + dabc2[:, 2]], axis=1)
 
     front = a > 0.0
     all_front = jnp.all(front, axis=1)
@@ -114,12 +122,16 @@ def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
     nty = jnp.where(onscreen, iy1 // th - ty0 + 1, 0)
     ntiles_tri = ntx * nty
 
-    # ---- scatter-free expansion: entry j -> (tri, si) ----
+    # ---- expansion: entry j -> (tri, si) ----
+    # tri_j = #{t : cum[t] <= j} (searchsorted-right over the inclusive
+    # cumsum). A boundary-indicator scatter-add + cumsum computes the same
+    # monotone step function; searchsorted(method="sort") measured 40 ms at
+    # E=2.4M (it re-sorts cum ++ iota), the indicator form ~1 ms.
     cum = jnp.cumsum(ntiles_tri)                            # inclusive
     e_tot = cum[-1]
     j = jnp.arange(e_cap, dtype=jnp.int32)
-    tri_j = jnp.searchsorted(cum, j, side="right",
-                             method="sort").astype(jnp.int32)
+    ind = jnp.zeros((e_cap,), jnp.int32).at[cum].add(1, mode="drop")
+    tri_j = jnp.cumsum(ind)
     valid = j < jnp.minimum(e_tot, e_cap)
     tri_j = jnp.minimum(tri_j, t_n - 1)
 
@@ -162,10 +174,13 @@ def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
     key, tri_sorted = jax.lax.sort((key, tri_j), num_keys=1)
     tri_sorted = jnp.where(key == 2**31 - 1, -1, tri_sorted)
 
-    # ---- per-tile segment starts ----
-    tile_targets = jnp.arange(n_tiles + 1, dtype=jnp.int32) << dbits
-    starts = jnp.searchsorted(key, tile_targets, side="left",
-                              method="sort").astype(jnp.int32)
+    # ---- per-tile segment starts: counts + cumsum (invalid entries sort
+    # past every tile, so segment t of the sorted order is exactly
+    # [starts[t], starts[t] + counts[t])) ----
+    counts = jnp.zeros((n_tiles,), jnp.int32).at[
+        jnp.where(valid, tile_j, n_tiles)].add(1, mode="drop")
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
 
     # ---- entry geometry in sorted order, chunk-blocked for the kernel
     # (the kernel DMAs whole (10, chunk) blocks at block granularity;

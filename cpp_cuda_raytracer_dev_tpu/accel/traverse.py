@@ -572,7 +572,8 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     t_tiles, enc_tiles, steps = pallas_bin_intersect(
         d_tiles, binned.starts, origin10, binned.geom, chunk=chunk,
         eps=config.eps, draw_distance=config.draw_distance, n_sub=n_sub,
-        mt_precision=config.mt_precision, interpret=interpret)
+        mt_precision=config.mt_precision, debug_mode=config.debug_mode,
+        interpret=interpret)
 
     # decode: block-relative winner -> global entry -> triangle id (the
     # kernel scans whole chunk-blocks from the one containing starts[t])

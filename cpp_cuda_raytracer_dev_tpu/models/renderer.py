@@ -94,6 +94,14 @@ def trace_rays(scene: Scene, origin: jax.Array, rmd: jax.Array,
             hit = intersect_binned(o_obj, d_obj, obj.tris,
                                    proj.transformed(obj.pose), config,
                                    band_h, band_w)
+        elif config.method == "raster":
+            from ..accel.raster import intersect_raster
+            if proj is None:
+                raise ValueError('method="raster" needs the camera '
+                                 "Projection (render() provides it)")
+            hit = intersect_raster(o_obj, d_obj, obj.tris,
+                                   proj.transformed(obj.pose), config,
+                                   band_h, band_w)
         elif config.method == "kd":
             from ..accel.traverse import kd_intersect
             hit = kd_intersect(o_obj, d_obj, accel[oi],
@@ -188,7 +196,8 @@ def render(scene: Scene, camera: Camera,
         frame = jax.jit(render, static_argnums=2)(scene, camera, config)
     """
     rmd = camera.ray_directions()                     # (R, 3)
-    proj = camera.projection() if config.method == "bin" else None
+    proj = (camera.projection() if config.method in ("bin", "raster")
+            else None)
     flat = render_rays(scene, camera.pos, rmd, config, accel,
                        camera.res_h, camera.res_w, proj=proj)
     h, w = camera.res_h, camera.res_w

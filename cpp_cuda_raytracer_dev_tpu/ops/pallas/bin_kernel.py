@@ -43,7 +43,10 @@ def _kernel(starts_ref, origin_ref,                        # scalar prefetch
             out_t_ref, out_enc_ref, out_steps_ref,         # outputs
             geom_vmem, sem,                                # scratch
             *, eps: float, draw_distance: float, chunk: int,
-            n_sub: int, mt_precision: str):
+            n_sub: int, mt_precision: str, debug_mode: int = 0):
+    # debug_mode (bisect aid): 1 = no early exit (cond ignores the depth
+    # certificate), 2 = additionally run the MT for every chunk/sub-tile
+    # (no cmin gates) — isolates certificate vs gate vs MT failures.
     t = pl.program_id(0)
     start = starts_ref[t]
     end = starts_ref[t + 1]
@@ -101,7 +104,7 @@ def _kernel(starts_ref, origin_ref,                        # scalar prefetch
         g = geom_vmem[slot]                                # (10, chunk)
         cmin = jnp.min(g[9:10])                            # chunk depth lo
 
-        @pl.when(cmin < wb)
+        @pl.when((cmin < wb) | (debug_mode >= 2))
         def _mt_all():
             p1x, p1y, p1z = g[0:1], g[1:2], g[2:3]         # (1, L)
             e1x, e1y, e1z = g[3:4], g[4:5], g[5:6]
@@ -135,7 +138,7 @@ def _kernel(starts_ref, origin_ref,                        # scalar prefetch
                 best_q = jnp.minimum(out_t_ref[0, :, lo:hi],
                                      bound[:, lo:hi])
 
-                @pl.when(cmin < jnp.max(best_q))
+                @pl.when((cmin < jnp.max(best_q)) | (debug_mode >= 2))
                 def _mt_sub(lo=lo, hi=hi):
                     out = jax.lax.dot_general(
                         m, d[:, lo:hi], (((0,), (0,)), ((), ())),
@@ -176,6 +179,8 @@ def _kernel(starts_ref, origin_ref,                        # scalar prefetch
 
     def cond(carry):
         k, wb, cert = carry
+        if debug_mode >= 1:
+            return k < nch
         return (k < nch) & (cert < wb)
 
     k_end, _, _ = jax.lax.while_loop(
@@ -192,12 +197,13 @@ def _kernel(starts_ref, origin_ref,                        # scalar prefetch
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "eps", "draw_distance", "n_sub",
-                     "mt_precision", "interpret"))
+                     "mt_precision", "debug_mode", "interpret"))
 def pallas_bin_intersect(d_tiles: jax.Array, starts: jax.Array,
                          origin10: jax.Array, geom: jax.Array,
                          chunk: int = 128, eps: float = MT_EPSILON,
                          draw_distance: float = 400.0, n_sub: int = 1,
                          mt_precision: str = "highest",
+                         debug_mode: int = 0,
                          interpret: bool = False):
     """Nearest hit per ray over binned entries.
 
@@ -237,7 +243,8 @@ def pallas_bin_intersect(d_tiles: jax.Array, starts: jax.Array,
     )
     kernel = functools.partial(_kernel, eps=eps,
                                draw_distance=draw_distance, chunk=chunk,
-                               n_sub=n_sub, mt_precision=mt_precision)
+                               n_sub=n_sub, mt_precision=mt_precision,
+                               debug_mode=debug_mode)
     out_t, out_enc, out_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

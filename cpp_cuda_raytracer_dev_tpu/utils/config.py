@@ -76,7 +76,17 @@ class RenderConfig:
     # Static entry capacity = bin_e_factor * num_triangles + 8192 (each
     # triangle bins to every tile its projected bbox overlaps; overflow is
     # counted in stats and means dropped geometry — raise the factor).
-    bin_e_factor: float = 3.0
+    # Dragon-class @ 960x540/16x16 tiles measures ~1.3 entries/tri; the
+    # prepass sort+gathers scale with this static cap, so keep it tight.
+    bin_e_factor: float = 1.6
+    # --- scatter-min rasterization path (method="raster", accel/raster.py)
+    # Max projected-bbox span (pixels) handled by the per-triangle candidate
+    # grid; triangles spanning more (or crossing the camera plane) go to the
+    # dense overflow pass below. Cost scales with span^2 * num_tris.
+    raster_span: int = 4
+    # Static capacity of the overflow pass (0 disables it); overflow beyond
+    # the cap is counted in stats — validation fails loudly, never silent.
+    raster_ovf_cap: int = 512
     # Shading gather VJP: True = scatter-free sort+cumsum transpose
     # (ops/gather.py, ~35x faster at dragon scale), False = XLA's default
     # scatter-add (kept for A/B validation of the custom VJP).
