@@ -46,7 +46,8 @@ def render_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     """
     band_h = _check_band(camera, mesh, config)
     rmd = camera.ray_directions().reshape(camera.res_h, camera.res_w, 3)
-    proj = camera.projection() if config.method == "bin" else None
+    proj = (camera.projection() if config.method in ("bin", "raster")
+            else None)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(RAYS_AXIS, None, None)),

@@ -62,23 +62,24 @@ def main():
     jax.block_until_ready(hit_ref.t)
     log("oracle ready")
 
-    for th, tw, chunk, sh, sw in [
-        (16, 16, 128, 0, 0),
-        (16, 16, 64, 0, 0),
-        (16, 32, 128, 0, 0),
-        (16, 32, 128, 8, 16),
-        (32, 32, 128, 16, 32),
-        (8, 16, 64, 0, 0),
-        (16, 16, 256, 0, 0),
+    for th, tw, chunk, sh, sw, prec in [
+        (16, 16, 128, 0, 0, "highest"),
+        (16, 16, 128, 0, 0, "high"),
+        (16, 16, 128, 0, 0, "default"),
+        (8, 16, 128, 0, 0, "high"),
+        (16, 32, 128, 0, 0, "high"),
+        (32, 32, 128, 16, 32, "high"),
+        (16, 16, 128, 8, 16, "high"),
     ]:
         cfg = RenderConfig(method="bin", tile_h=th, tile_w=tw,
-                           bin_chunk=chunk, sub_h=sh, sub_w=sw)
+                           bin_chunk=chunk, sub_h=sh, sub_w=sw,
+                           mt_precision=prec)
         fn = jax.jit(lambda o_, d_, c=cfg: intersect_binned(
             o_, d_, tris, proj, c, h, w))
         try:
             hit = jax.block_until_ready(fn(o, rmd))
         except Exception as e:
-            log(f"{th}x{tw} c{chunk} sub{sh}x{sw}: FAIL {type(e).__name__} "
+            log(f"{th}x{tw} c{chunk} sub{sh}x{sw} {prec}: FAIL {type(e).__name__} "
                 f"{str(e)[:200]}")
             continue
         dt = timed(fn, o, rmd)
@@ -90,7 +91,7 @@ def main():
             proj, tris.p1, tris.e1, tris.e2, h + (-h) % th, w + (-w) % tw,
             th, tw, e_cap=e_cap, chunk=chunk).starts)
         dtb = timed(fb)
-        log(f"{th}x{tw} c{chunk} sub{sh}x{sw}: total {dt*1e3:7.2f} ms "
+        log(f"{th}x{tw} c{chunk} sub{sh}x{sw} {prec}: total {dt*1e3:7.2f} ms "
             f"(bin prepass {dtb*1e3:6.2f}) agree={agree:.4f}")
 
 
