@@ -63,7 +63,10 @@ def build_scene(args):
                           max_candidates=args.max_candidates,
                           chunk=args.chunk, group_size=args.group_size,
                           max_groups=args.max_groups,
-                          sub_h=args.sub_h, sub_w=args.sub_w)
+                          sub_h=args.sub_h, sub_w=args.sub_w,
+                          bin_chunk=args.bin_chunk,
+                          bin_e_factor=args.bin_e_factor,
+                          mt_precision=args.mt_precision)
     accel = None
     if args.method == "kd":
         # reference-semantics traversal needs the flattened KD tables, not
@@ -92,9 +95,11 @@ def validate(scene, camera, config, accel, n_sample=4096, seed=0):
     from cpp_cuda_raytracer_dev_tpu.models.renderer import trace_rays
     from cpp_cuda_raytracer_dev_tpu.utils.config import RenderConfig as RC
 
+    proj = (camera.projection() if config.method in ("bin", "raster")
+            else None)
     rmd = camera.ray_directions()
     hit_g = trace_rays(scene, camera.pos, rmd, config, accel,
-                       camera.res_h, camera.res_w)
+                       camera.res_h, camera.res_w, proj=proj)
     rng = np.random.default_rng(seed)
     idx = rng.choice(rmd.shape[0], n_sample, replace=False)
     sub = jnp.asarray(rmd[idx])
@@ -139,6 +144,10 @@ def main():
     p.add_argument("--group-size", type=int, default=32)
     p.add_argument("--max-groups", type=int, default=24,
                    help="two-level cull: groups per tile (0 = flat cull)")
+    p.add_argument("--bin-chunk", type=int, default=128)
+    p.add_argument("--bin-e-factor", type=float, default=1.6)
+    p.add_argument("--mt-precision", default="highest",
+                   choices=["default", "high", "highest"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--quick", action="store_true",
                    help="small smoke-test configuration")
@@ -226,6 +235,34 @@ def main():
         log(f"overflow: residual_tiles={overflow_stats['overflow_tiles_residual']}"
             f" max={overflow_stats['overflow_max']}"
             f" steps_mean={overflow_stats['steps_mean']:.1f}")
+    elif args.method == "bin":
+        # bin-path telemetry: entry-table occupancy + overflow (any nonzero
+        # overflow means dropped geometry -> raise bin_e_factor)
+        import dataclasses
+
+        from cpp_cuda_raytracer_dev_tpu.accel.traverse import intersect_binned
+        scfg = dataclasses.replace(config, with_stats=True)
+        rmd_all = jnp.asarray(camera.ray_directions())
+        proj = camera.projection()
+        _, stats = jax.jit(
+            lambda o_, d_: intersect_binned(
+                o_, d_, scene.objects[0].tris, proj, scfg,
+                camera.res_h, camera.res_w)
+        )(jnp.asarray(camera.pos), rmd_all)
+        steps = np.asarray(stats["steps"])
+        chunks = np.asarray(stats["chunks"])
+        overflow_stats = {
+            "entries": int(stats["entries"]),
+            "overflow_entries": int(stats["overflow"]),
+            "cross_tris": int(stats["cross"]),
+            "steps_mean": float(steps.mean()),
+            "chunks_mean": float(chunks.mean()),
+        }
+        log(f"bin: entries={overflow_stats['entries']}"
+            f" overflow={overflow_stats['overflow_entries']}"
+            f" cross={overflow_stats['cross_tris']}"
+            f" steps_mean={overflow_stats['steps_mean']:.1f}"
+            f"/{overflow_stats['chunks_mean']:.1f}")
 
     dt_f = bench(fwd, (scene, camera), iters=args.iters)
     log(f"forward: {dt_f * 1e3:.2f} ms/frame = {1 / dt_f:.1f} FPS "

@@ -48,10 +48,13 @@ BIG = 3.0e38   # python float: a concrete jnp constant at module
 class BinnedScene(struct.PyTreeNode):
     """Per-frame, per-object binning output (traced values)."""
 
-    geom: jax.Array      # (Epad/chunk, 10, chunk) f32 blocks:
-                         #   p1(3) | e1(3) | e2(3) | depth(1) rows
+    geom: jax.Array      # (Epad/chunk, 12, chunk) f32 MT-constant blocks:
+                         #   A(3) | B(3) | C(3) | TD | depth | pad rows
+                         #   (see ops/pallas/bin_kernel2.py docstring)
     entry_tri: jax.Array  # (Epad,) i32 triangle id per entry (-1 padding)
     starts: jax.Array    # (nT + 1,) i32 entry range per tile
+    item_tile: jax.Array  # (I_cap,) i32 work-item -> tile (tile-major)
+    item_block: jax.Array  # (I_cap,) i32 work-item -> geometry block
     qstep: jax.Array     # scalar f32 depth-quantization bucket width
     # diagnostics (per frame)
     num_entries: jax.Array      # scalar i32 — total live entries
@@ -59,49 +62,65 @@ class BinnedScene(struct.PyTreeNode):
     cross_tris: jax.Array       # scalar i32 — camera-plane-crossing tris
 
 
-def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
+def bin_triangles(proj, origin: jax.Array,
+                  p1: jax.Array, e1: jax.Array, e2: jax.Array,
                   res_h: int, res_w: int, th: int, tw: int,
-                  e_cap: int, chunk: int = 128) -> BinnedScene:
+                  e_cap: int, chunk: int = 512, eps: float = 1e-16,
+                  _stage: str | None = None) -> BinnedScene:
     """Bin triangles (object frame) to (th x tw) pixel tiles.
 
-    proj: Projection already transformed into the object frame.
-    Returns entries sorted by (tile, quantized depth), geometry gathered
-    in entry order. e_cap bounds total entries (static shape).
+    proj: Projection already transformed into the object frame; origin:
+    (3,) object-frame ray origin (folded into the per-entry MT constant
+    table). Returns entries sorted by (tile, quantized depth), MT
+    constants gathered in entry order, plus the flat (tile, block)
+    work-item list for the inverted-grid kernel. e_cap bounds total
+    entries (static shape).
+
+    _stage: profiling probe — return intermediates early ("bbox",
+    "expand", "sort", "starts") so XLA dead-code-eliminates later stages;
+    timing deltas between stages give per-stage cost (scripts/
+    bin_stage_prof.py).
     """
     f32 = jnp.float32
     t_n = p1.shape[0]
+    e_cap = -(-e_cap // chunk) * chunk                      # chunk-align
     n_tx = -(-res_w // tw)
     n_ty = -(-res_h // th)
     n_tiles = n_tx * n_ty
 
     # project all 3 verts via three (T,3)@(3,3) matmuls on the shared basis
     # (an einsum over a stacked (T,3,3) measured 4.9 ms at 800k tris — the
-    # materialized stack + per-vertex contractions are all HBM traffic)
+    # materialized stack + per-vertex contractions are all HBM traffic).
+    # Everything downstream is flat (T,) component arrays: (T,3) layouts
+    # put the 3-axis on lanes (42/128 padding waste) and measured 4.4 ms
+    # for this stage alone — componentized it is sub-ms.
     basis = jnp.stack([proj.n, proj.u, proj.v], axis=1)     # (3, 3)
     abc0 = (p1 - proj.origin[None, :]) @ basis              # (T, 3)
     dabc1 = e1 @ basis
     dabc2 = e2 @ basis
-    a = jnp.stack([abc0[:, 0], abc0[:, 0] + dabc1[:, 0],
-                   abc0[:, 0] + dabc2[:, 0]], axis=1)       # (T, 3) depth
-    b = jnp.stack([abc0[:, 1], abc0[:, 1] + dabc1[:, 1],
-                   abc0[:, 1] + dabc2[:, 1]], axis=1)
-    c = jnp.stack([abc0[:, 2], abc0[:, 2] + dabc1[:, 2],
-                   abc0[:, 2] + dabc2[:, 2]], axis=1)
+    a0, b0, c0 = abc0[:, 0], abc0[:, 1], abc0[:, 2]         # (T,) each
+    a1, b1, c1 = a0 + dabc1[:, 0], b0 + dabc1[:, 1], c0 + dabc1[:, 2]
+    a2, b2, c2 = a0 + dabc2[:, 0], b0 + dabc2[:, 1], c0 + dabc2[:, 2]
 
-    front = a > 0.0
-    all_front = jnp.all(front, axis=1)
-    any_front = jnp.any(front, axis=1)
+    f0, f1, f2 = a0 > 0.0, a1 > 0.0, a2 > 0.0
+    all_front = f0 & f1 & f2
+    any_front = f0 | f1 | f2
     cross = any_front & ~all_front                          # (T,)
 
-    a_safe = jnp.maximum(a, 1e-20)
-    px = proj.adjust_x + proj.sx * (b / a_safe)             # (T, 3)
-    py = proj.adjust_y + proj.sy * (c / a_safe)
+    def _px(b, a):
+        return proj.adjust_x + proj.sx * (b / jnp.maximum(a, 1e-20))
+
+    def _py(c, a):
+        return proj.adjust_y + proj.sy * (c / jnp.maximum(a, 1e-20))
+
+    px0, px1_, px2 = _px(b0, a0), _px(b1, a1), _px(b2, a2)
+    py0, py1_, py2 = _py(c0, a0), _py(c1, a1), _py(c2, a2)
 
     guard = 0.5
-    x0 = jnp.min(px, axis=1) - guard
-    x1 = jnp.max(px, axis=1) + guard
-    y0 = jnp.min(py, axis=1) - guard
-    y1 = jnp.max(py, axis=1) + guard
+    x0 = jnp.minimum(jnp.minimum(px0, px1_), px2) - guard
+    x1 = jnp.maximum(jnp.maximum(px0, px1_), px2) + guard
+    y0 = jnp.minimum(jnp.minimum(py0, py1_), py2) - guard
+    y1 = jnp.maximum(jnp.maximum(py0, py1_), py2) + guard
     # camera-plane crossers: conservative full-screen bbox
     x0 = jnp.where(cross, 0.0, x0)
     y0 = jnp.where(cross, 0.0, y0)
@@ -121,6 +140,8 @@ def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
     ntx = jnp.where(onscreen, ix1 // tw - tx0 + 1, 0)       # (T,)
     nty = jnp.where(onscreen, iy1 // th - ty0 + 1, 0)
     ntiles_tri = ntx * nty
+    if _stage == "bbox":
+        return tx0, ty0, ntiles_tri
 
     # ---- expansion: entry j -> (tri, si) ----
     # tri_j = #{t : cum[t] <= j} (searchsorted-right over the inclusive
@@ -144,7 +165,9 @@ def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
         raise ValueError(f"{n_tiles} tiles leaves only {dbits} depth bits; "
                          "use larger tiles")
     dmax = (1 << dbits) - 1
-    depth = jnp.min(jnp.where(front, a, BIG), axis=1)       # (T,)
+    depth = jnp.minimum(
+        jnp.minimum(jnp.where(f0, a0, BIG), jnp.where(f1, a1, BIG)),
+        jnp.where(f2, a2, BIG))                             # (T,)
     depth = jnp.maximum(depth, 0.0)
     d_lo = jnp.min(jnp.where(onscreen, depth, BIG))
     d_hi = jnp.max(jnp.where(onscreen & jnp.isfinite(depth), depth, 0.0))
@@ -171,39 +194,107 @@ def bin_triangles(proj, p1: jax.Array, e1: jax.Array, e2: jax.Array,
     key = jnp.where(valid,
                     (tile_j << dbits) | ient[:, 5],
                     jnp.int32(2**31 - 1))
+    if _stage == "expand":
+        return key, tri_j, tile_j
     key, tri_sorted = jax.lax.sort((key, tri_j), num_keys=1)
     tri_sorted = jnp.where(key == 2**31 - 1, -1, tri_sorted)
+    if _stage == "sort":
+        return key, tri_sorted
 
-    # ---- per-tile segment starts: counts + cumsum (invalid entries sort
-    # past every tile, so segment t of the sorted order is exactly
-    # [starts[t], starts[t] + counts[t])) ----
-    counts = jnp.zeros((n_tiles,), jnp.int32).at[
-        jnp.where(valid, tile_j, n_tiles)].add(1, mode="drop")
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    # ---- per-tile segment starts: lower_bound(sorted keys, t << dbits)
+    # by vectorized binary search — ceil(log2 E) rounds of one tiny
+    # (nT,) gather each. (A counts scatter-add + cumsum measured 11.3 ms
+    # at E=1.3M on chip — TPU scatter is serial-ish; jnp.searchsorted
+    # (method="sort") was both slower AND produced wrong results at this
+    # size, see scripts/scatter_probe*.py.) Invalid entries carry key
+    # 2^31-1 which is >= every (t << dbits), so they land past the end.
+    q = (jnp.arange(n_tiles, dtype=jnp.int32) << dbits)     # (nT,)
+    lo = jnp.zeros((n_tiles,), jnp.int32)
+    hi = jnp.full((n_tiles,), e_cap, jnp.int32)
+    for _ in range(max(1, (e_cap - 1).bit_length())):
+        mid = (lo + hi) // 2
+        km = jnp.take(key, jnp.minimum(mid, e_cap - 1))
+        lt = km < q
+        lo = jnp.where(lt, mid + 1, lo)
+        hi = jnp.where(lt, hi, mid)
+    # clamp: with a FULL table (overflow) every key can be < q for trailing
+    # tiles and the fixed-iteration search walks lo past the end
+    n_valid = jnp.minimum(e_tot, e_cap).astype(jnp.int32)
+    starts = jnp.concatenate([jnp.minimum(lo, n_valid), n_valid[None]])
+    if _stage == "starts":
+        return starts, tri_sorted
 
-    # ---- entry geometry in sorted order, chunk-blocked for the kernel
-    # (the kernel DMAs whole (10, chunk) blocks at block granularity;
-    # a tile's first/last block may carry neighboring tiles' entries —
-    # they are real scene geometry, so testing them is harmless) ----
-    epad = e_cap + chunk                  # kernel chunk reads never OOB
+    # ---- per-entry Möller–Trumbore constant table, chunk-blocked ----
+    # Primary rays all share the object-frame origin, so the MT solve
+    # collapses to three dot products per (entry, ray): precompute the
+    # epsilon-folded constants per TRIANGLE (the reference's own
+    # per-camera cache, Trixel.cu:29-36 / init_cam_tri_mem_cuda), then
+    # gather rows per entry. Layout (12, chunk) blocks: components on
+    # sublanes, entries on lanes — exactly what the kernel's broadcast
+    # form consumes (ops/pallas/bin_kernel2.py docstring).
+    p1x, p1y, p1z = p1[:, 0], p1[:, 1], p1[:, 2]
+    e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
+    e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    tvx, tvy, tvz = ox - p1x, oy - p1y, oz - p1z
+    mdx = e2y * e1z - e2z * e1y                             # e2 x e1
+    mdy = e2z * e1x - e2x * e1z
+    mdz = e2x * e1y - e2y * e1x
+    mux = e2y * tvz - e2z * tvy                             # e2 x tv
+    muy = e2z * tvx - e2x * tvz
+    muz = e2x * tvy - e2y * tvx
+    mvx = tvy * e1z - tvz * e1y                             # tv x e1
+    mvy = tvz * e1x - tvx * e1z
+    mvz = tvx * e1y - tvy * e1x
+    td = e2x * mvx + e2y * mvy + e2z * mvz
+    k1 = f32(1.0 - eps)
+    ftab = jnp.stack(
+        [k1 * mdx, k1 * mdy, k1 * mdz,
+         mux - eps * mdx, muy - eps * mdy, muz - eps * mdz,
+         mvx - eps * mdx, mvy - eps * mdy, mvz - eps * mdz,
+         k1 * td, depth, jnp.zeros_like(td)], axis=1)       # (T, 12)
+
+    epad = e_cap + chunk                  # kernel block reads never OOB
     safe = jnp.maximum(tri_sorted, 0)
     live = (tri_sorted >= 0)[:, None]
-    ftab = jnp.concatenate([p1, e1, e2, depth[:, None]], axis=1)  # (T, 10)
     rows = jnp.take(ftab, safe, axis=0)                     # one gather
-    rows = jnp.where(live, rows,
-                     jnp.concatenate([jnp.zeros((9,), jnp.float32),
-                                      jnp.full((1,), BIG, jnp.float32)]))
-    pad = jnp.concatenate(
-        [jnp.zeros((chunk, 9), jnp.float32),
-         jnp.full((chunk, 1), BIG, jnp.float32)], axis=1)
-    rows = jnp.concatenate([rows, pad], axis=0)             # (Epad, 10)
-    geom = rows.reshape(epad // chunk, chunk, 10).transpose(0, 2, 1)
+    dead_row = jnp.concatenate([jnp.zeros((10,), jnp.float32),
+                                jnp.full((1,), BIG, jnp.float32),
+                                jnp.zeros((1,), jnp.float32)])
+    rows = jnp.where(live, rows, dead_row)                  # det=0 rejects
+    rows = jnp.concatenate(
+        [rows, jnp.broadcast_to(dead_row, (chunk, 12))], axis=0)
+    geom = rows.reshape(epad // chunk, chunk, 12).transpose(0, 2, 1)
     entry_tri = jnp.concatenate(
         [tri_sorted, jnp.full((chunk,), -1, jnp.int32)])
 
+    # ---- (tile, block) work items for the inverted-grid kernel ----
+    # Tile t's entry segment spans blocks [starts[t]//chunk,
+    # (end[t]-1)//chunk]; empty tiles still get one item (their init
+    # must run — scanning block 0 is harmless, any hit it finds is a
+    # true intersection). Tail padding repeats the final real item,
+    # which re-tests the same block: idempotent under nearest-hit min.
+    nblocks = epad // chunk
+    seg_start = starts[:-1]
+    seg_end = starts[1:]
+    b0 = seg_start // chunk
+    nch = jnp.where(seg_end > seg_start,
+                    (seg_end - 1) // chunk - b0 + 1, 0)
+    nch1 = jnp.maximum(nch, 1)                              # (nT,)
+    cumi = jnp.cumsum(nch1)
+    i_cap = e_cap // chunk + n_tiles                        # static bound
+    ind_i = jnp.zeros((i_cap,), jnp.int32).at[cumi].add(1, mode="drop")
+    item_tile = jnp.minimum(jnp.cumsum(ind_i), n_tiles - 1)
+    itabs = jnp.stack([cumi, nch1, b0], axis=1)             # (nT, 3)
+    ig = jnp.take(itabs, item_tile, axis=0)                 # (I, 3) tiny
+    istart = ig[:, 0] - ig[:, 1]
+    off = jnp.minimum(jnp.arange(i_cap, dtype=jnp.int32) - istart,
+                      ig[:, 1] - 1)
+    item_block = jnp.minimum(ig[:, 2] + off, nblocks - 1)
+
     return BinnedScene(
         geom=geom, entry_tri=entry_tri, starts=starts,
+        item_tile=item_tile, item_block=item_block,
         qstep=jnp.maximum(d_hi - d_lo, 1e-20) / f32(dmax),
         num_entries=jnp.minimum(e_tot, e_cap).astype(jnp.int32),
         overflow_entries=jnp.maximum(e_tot - e_cap, 0).astype(jnp.int32),

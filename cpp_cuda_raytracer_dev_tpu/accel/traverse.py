@@ -542,7 +542,7 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     limit is the global entry table (config.bin_e_factor).
     """
     from ..accel.binning import bin_triangles
-    from ..ops.pallas.bin_kernel import pallas_bin_intersect
+    from ..ops.pallas.bin_kernel2 import pallas_bin_intersect2
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -556,31 +556,27 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     tiles, meta = _tile_rays(d, res_h, res_w, th, tw, sh, sw)  # (nT, P, 3)
     sh, sw = meta[6], meta[7]
     n_sub = (th // sh) * (tw // sw) if (sh and sw) else 1
-    d_tiles = tiles.transpose(0, 2, 1)                      # (nT, 3, P)
 
-    binned = bin_triangles(proj, tris.p1, tris.e1, tris.e2,
+    binned = bin_triangles(proj, o, tris.p1, tris.e1, tris.e2,
                            res_h + meta[4], res_w + meta[5], th, tw,
-                           e_cap=e_cap, chunk=chunk)
+                           e_cap=e_cap, chunk=chunk, eps=config.eps)
 
-    # root AABB for the kernel's per-ray bound + the depth quantization
-    # step for the exit certificate
+    # root AABB for the kernel's per-ray bound
     v = jnp.stack([tris.p1, tris.p1 + tris.e1, tris.p1 + tris.e2], axis=1)
     bmin = jnp.min(v.reshape(-1, 3), axis=0)
     bmax = jnp.max(v.reshape(-1, 3), axis=0)
     origin10 = jnp.concatenate([o, bmin, bmax, binned.qstep[None]])
 
-    t_tiles, enc_tiles, steps = pallas_bin_intersect(
-        d_tiles, binned.starts, origin10, binned.geom, chunk=chunk,
-        eps=config.eps, draw_distance=config.draw_distance, n_sub=n_sub,
-        mt_precision=config.mt_precision, debug_mode=config.debug_mode,
+    t_tiles, enc_tiles, steps = pallas_bin_intersect2(
+        tiles, binned.item_tile, binned.item_block, binned.starts,
+        origin10, binned.geom, n_items=binned.item_tile.shape[0],
+        chunk=chunk, eps=config.eps,
+        draw_distance=config.draw_distance, n_sub=n_sub,
         interpret=interpret)
 
-    # decode: block-relative winner -> global entry -> triangle id (the
-    # kernel scans whole chunk-blocks from the one containing starts[t])
-    n_tiles = d_tiles.shape[0]
-    entry = ((binned.starts[:n_tiles, None] // chunk) * chunk
-             + jnp.maximum(enc_tiles, 0))
-    entry = jnp.minimum(entry, binned.entry_tri.shape[0] - 1)
+    # decode: global entry id -> triangle id
+    entry = jnp.minimum(jnp.maximum(enc_tiles, 0),
+                        binned.entry_tri.shape[0] - 1)
     tri = jnp.take(binned.entry_tri, entry)
     tri_tiles = jnp.where(enc_tiles >= 0, tri, -1)
 

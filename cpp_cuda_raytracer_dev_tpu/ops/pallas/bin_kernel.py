@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils.dtypes import MT_EPSILON
 
 _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
+               "high": jax.lax.Precision.HIGH,
                "highest": jax.lax.Precision.HIGHEST}
 _MISS_T = 3.0e38
 _DMA_DEPTH = 4

@@ -53,45 +53,53 @@ def main():
     rmd = jnp.asarray(camera.ray_directions())
     proj = camera.projection()
 
-    # oracle sample
+    # oracle sample (disk-cached: the fixed-path compile costs minutes)
     rng = np.random.default_rng(0)
     idx = rng.choice(w * h, 8192, replace=False)
-    sub = jnp.asarray(np.asarray(rmd)[idx])
-    hit_ref = trace_rays(scene, camera.pos, sub, RenderConfig(method="fixed"))
-    tri_ref = np.asarray(hit_ref.tri)
-    jax.block_until_ready(hit_ref.t)
+    cache = f"/tmp/bin_oracle_{n_tris}_{w}x{h}.npz"
+    import os
+    if os.path.exists(cache):
+        tri_ref = np.load(cache)["tri"]
+    else:
+        sub = jnp.asarray(np.asarray(rmd)[idx])
+        hit_ref = trace_rays(scene, camera.pos, sub,
+                             RenderConfig(method="fixed"))
+        tri_ref = np.asarray(hit_ref.tri)
+        np.savez(cache, tri=tri_ref)
     log("oracle ready")
 
-    for th, tw, chunk, sh, sw, prec in [
-        (16, 16, 128, 0, 0, "highest"),
-        (16, 16, 128, 0, 0, "high"),
-        (16, 16, 128, 0, 0, "default"),
-        (8, 16, 128, 0, 0, "high"),
-        (16, 32, 128, 0, 0, "high"),
-        (32, 32, 128, 16, 32, "high"),
-        (16, 16, 128, 8, 16, "high"),
+    for th, tw, chunk, sh, sw in [
+        (16, 16, 128, 0, 0),
+        (16, 16, 256, 0, 0),
+        (16, 16, 512, 0, 0),
+        (16, 16, 1024, 0, 0),
+        (8, 16, 256, 0, 0),
+        (8, 16, 512, 0, 0),
+        (16, 32, 512, 0, 0),
+        (8, 32, 512, 0, 0),
+        (16, 16, 512, 8, 16, ),
+        (32, 32, 512, 16, 32),
+        (8, 8, 256, 0, 0),
     ]:
         cfg = RenderConfig(method="bin", tile_h=th, tile_w=tw,
-                           bin_chunk=chunk, sub_h=sh, sub_w=sw,
-                           mt_precision=prec)
+                           bin_chunk=chunk, sub_h=sh, sub_w=sw)
         fn = jax.jit(lambda o_, d_, c=cfg: intersect_binned(
             o_, d_, tris, proj, c, h, w))
         try:
             hit = jax.block_until_ready(fn(o, rmd))
         except Exception as e:
-            log(f"{th}x{tw} c{chunk} sub{sh}x{sw} {prec}: FAIL {type(e).__name__} "
+            log(f"{th}x{tw} c{chunk} sub{sh}x{sw}: FAIL {type(e).__name__} "
                 f"{str(e)[:200]}")
             continue
         dt = timed(fn, o, rmd)
         agree = float(np.mean(np.asarray(hit.tri)[idx] == tri_ref))
         # prepass alone
         e_cap = int(n_tris * cfg.bin_e_factor) + 8192
-        e_cap = -(-e_cap // chunk) * chunk
         fb = jax.jit(lambda c=cfg: bin_triangles(
-            proj, tris.p1, tris.e1, tris.e2, h + (-h) % th, w + (-w) % tw,
-            th, tw, e_cap=e_cap, chunk=chunk).starts)
+            proj, o, tris.p1, tris.e1, tris.e2, h + (-h) % th,
+            w + (-w) % tw, th, tw, e_cap=e_cap, chunk=chunk).starts)
         dtb = timed(fb)
-        log(f"{th}x{tw} c{chunk} sub{sh}x{sw} {prec}: total {dt*1e3:7.2f} ms "
+        log(f"{th}x{tw} c{chunk} sub{sh}x{sw}: total {dt*1e3:7.2f} ms "
             f"(bin prepass {dtb*1e3:6.2f}) agree={agree:.4f}")
 
 

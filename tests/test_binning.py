@@ -49,7 +49,8 @@ def test_binning_conservative(tester, off_scale):
     hit_tri = np.asarray(render(scene, cam, RenderConfig(
         method="fixed", chunk=512, draw_distance=dd)).hit_tri)
 
-    binned = bin_triangles(cam.projection(), tris.p1, tris.e1, tris.e2,
+    binned = bin_triangles(cam.projection(), jnp.asarray(cam.pos),
+                           tris.p1, tris.e1, tris.e2,
                            RES_H, RES_W, TH, TW,
                            e_cap=tris.num_triangles * 8 + 4096)
     assert int(binned.overflow_entries) == 0
@@ -72,11 +73,12 @@ def test_binning_depth_sorted_within_tile(tester):
     early-exit order) up to the quantization step."""
     tris, center, size = tester
     cam = _camera(center, size, [0, 0, -1.3 * size])
-    binned = bin_triangles(cam.projection(), tris.p1, tris.e1, tris.e2,
+    binned = bin_triangles(cam.projection(), jnp.asarray(cam.pos),
+                           tris.p1, tris.e1, tris.e2,
                            RES_H, RES_W, TH, TW,
                            e_cap=tris.num_triangles * 8 + 4096)
     starts = np.asarray(binned.starts)
-    depth = np.asarray(binned.geom)[:, 9, :].reshape(-1)
+    depth = np.asarray(binned.geom)[:, 10, :].reshape(-1)
     qstep = float(binned.qstep)
     for t in range(len(starts) - 1):
         seg = depth[starts[t]:starts[t + 1]]
