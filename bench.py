@@ -133,18 +133,18 @@ def main():
     p.add_argument("--tris", type=int, default=800_000)
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
-    p.add_argument("--method", default="pallas2")
+    p.add_argument("--method", default="bin")
     p.add_argument("--leaf-size", type=int, default=128)
-    p.add_argument("--tile-h", type=int, default=64)
-    p.add_argument("--tile-w", type=int, default=64)
+    p.add_argument("--tile-h", type=int, default=16)
+    p.add_argument("--tile-w", type=int, default=16)
     p.add_argument("--max-candidates", type=int, default=64)
-    p.add_argument("--sub-h", type=int, default=16)
-    p.add_argument("--sub-w", type=int, default=32)
+    p.add_argument("--sub-h", type=int, default=0)
+    p.add_argument("--sub-w", type=int, default=0)
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--group-size", type=int, default=32)
     p.add_argument("--max-groups", type=int, default=24,
                    help="two-level cull: groups per tile (0 = flat cull)")
-    p.add_argument("--bin-chunk", type=int, default=128)
+    p.add_argument("--bin-chunk", type=int, default=512)
     p.add_argument("--bin-e-factor", type=float, default=1.6)
     p.add_argument("--mt-precision", default="highest",
                    choices=["default", "high", "highest"])
@@ -158,7 +158,8 @@ def main():
     if args.quick:
         args.tris, args.width, args.height = 20_000, 256, 256
         args.leaf_size, args.max_candidates, args.iters = 64, 24, 3
-        args.tile_h, args.tile_w, args.sub_h, args.sub_w = 32, 32, 16, 16
+        args.tile_h, args.tile_w, args.sub_h, args.sub_w = 16, 16, 0, 0
+        args.bin_chunk = 128
 
     import jax
     import jax.numpy as jnp

@@ -248,11 +248,15 @@ def bin_triangles(proj, origin: jax.Array,
     mvz = tvx * e1y - tvy * e1x
     td = e2x * mvx + e2y * mvy + e2z * mvz
     k1 = f32(1.0 - eps)
+    # row 11: the triangle id as f32 (exact below 2^24) — the kernel
+    # extracts the winner's id with a one-hot lane reduce, so the caller
+    # needs no per-ray decode gather at all
     ftab = jnp.stack(
         [k1 * mdx, k1 * mdy, k1 * mdz,
          mux - eps * mdx, muy - eps * mdy, muz - eps * mdz,
          mvx - eps * mdx, mvy - eps * mdy, mvz - eps * mdz,
-         k1 * td, depth, jnp.zeros_like(td)], axis=1)       # (T, 12)
+         k1 * td, depth,
+         jnp.arange(t_n, dtype=jnp.float32)], axis=1)       # (T, 12)
 
     epad = e_cap + chunk                  # kernel block reads never OOB
     safe = jnp.maximum(tri_sorted, 0)
@@ -260,7 +264,7 @@ def bin_triangles(proj, origin: jax.Array,
     rows = jnp.take(ftab, safe, axis=0)                     # one gather
     dead_row = jnp.concatenate([jnp.zeros((10,), jnp.float32),
                                 jnp.full((1,), BIG, jnp.float32),
-                                jnp.zeros((1,), jnp.float32)])
+                                jnp.full((1,), -1.0, jnp.float32)])
     rows = jnp.where(live, rows, dead_row)                  # det=0 rejects
     rows = jnp.concatenate(
         [rows, jnp.broadcast_to(dead_row, (chunk, 12))], axis=0)

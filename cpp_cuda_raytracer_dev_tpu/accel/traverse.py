@@ -567,18 +567,14 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     bmax = jnp.max(v.reshape(-1, 3), axis=0)
     origin10 = jnp.concatenate([o, bmin, bmax, binned.qstep[None]])
 
-    t_tiles, enc_tiles, steps = pallas_bin_intersect2(
+    t_tiles, tri_tiles, steps = pallas_bin_intersect2(
         tiles, binned.item_tile, binned.item_block, binned.starts,
         origin10, binned.geom, n_items=binned.item_tile.shape[0],
         chunk=chunk, eps=config.eps,
         draw_distance=config.draw_distance, n_sub=n_sub,
         interpret=interpret)
-
-    # decode: global entry id -> triangle id
-    entry = jnp.minimum(jnp.maximum(enc_tiles, 0),
-                        binned.entry_tri.shape[0] - 1)
-    tri = jnp.take(binned.entry_tri, entry)
-    tri_tiles = jnp.where(enc_tiles >= 0, tri, -1)
+    # the kernel already returns the winner's TRIANGLE id (one-hot lane
+    # extraction of the table's id row) — no per-ray decode gather
 
     t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
     tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)

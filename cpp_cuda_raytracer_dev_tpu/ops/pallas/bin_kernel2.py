@@ -134,22 +134,22 @@ def _kernel(item_tile_ref, item_block_ref, starts_ref, origin10_ref,
                 dsf = jnp.where(det == 0.0, 1e-30, det)
                 tt = jnp.where(ok, td / dsf, _MISS_T)
 
-                # winner-per-ray via one lane min: pack the lane id into
-                # the low mantissa bits (lanes < chunk, a power of two)
-                key = jax.lax.bitcast_convert_type(tt, jnp.int32)
-                key = ((key & ~(chunk - 1))
-                       | jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1))
-                kmin = jnp.min(key, axis=1, keepdims=True)  # (sp, 1)
-                win = kmin & (chunk - 1)
-                tmin = jax.lax.bitcast_convert_type(
-                    kmin & ~(chunk - 1), jnp.float32)
-                enc = block * chunk + win                   # global entry
+                # winner-per-ray: EXACT lane min of t (the gen-3 kernel
+                # packed the lane id into t's low mantissa bits, which
+                # cost log2(chunk) bits of t precision — oracle agreement
+                # decayed 0.9995 -> 0.9954 from c128 to c1024), then the
+                # winner's triangle id via a tie-broken min over the id
+                # row (g[11], ids exact in f32; smallest id wins ties,
+                # matching the brute oracle's first-hit-kept semantics)
+                tmin = jnp.min(tt, axis=1, keepdims=True)   # (sp, 1)
+                tri = jnp.min(jnp.where(tt == tmin, g[11:12], _MISS_T),
+                              axis=1, keepdims=True).astype(jnp.int32)
 
                 cur = out_t_ref[0, lo:hi, 0:1]
                 better = tmin < cur
                 out_t_ref[0, lo:hi, 0:1] = jnp.where(better, tmin, cur)
                 out_enc_ref[0, lo:hi, 0:1] = jnp.where(
-                    better, enc, out_enc_ref[0, lo:hi, 0:1])
+                    better, tri, out_enc_ref[0, lo:hi, 0:1])
 
         # Mosaic cannot store scalars to VMEM: bump the counters with
         # one-hot vector adds over the whole (1, 8, 1) block
@@ -179,7 +179,8 @@ def pallas_bin_intersect2(d_tiles: jax.Array, item_tile: jax.Array,
     the caller's decode); origin10: (10,) = origin|root_bmin|root_bmax|
     qstep; geom: (Epad/chunk, 12, chunk) MT-constant blocks.
 
-    Returns (t (nT, P), enc (nT, P) global entry id or -1 = miss,
+    Returns (t (nT, P), tri (nT, P) winner TRIANGLE id or -1 = miss (the
+    id row rides the geometry blocks, no caller decode needed),
     steps (nT, 2) = [mt-executed items, items]).
     """
     n_tiles, p, _ = d_tiles.shape

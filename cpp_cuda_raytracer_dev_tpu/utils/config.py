@@ -71,8 +71,10 @@ class RenderConfig:
     # pass), "high" (3 passes), "highest" (6 passes, exact f32).
     mt_precision: str = "highest"
     # --- screen-space binning path (method="bin", accel/binning.py) ---
-    # Entry-table chunk streamed per kernel step (power of two).
-    bin_chunk: int = 128
+    # Entry-table chunk streamed per kernel step (power of two). Swept on
+    # chip at dragon scale (scripts/bin_bench.py): 512 with 16x16 tiles
+    # is the flat optimum (24.7 ms intersect, oracle agreement 1.0000).
+    bin_chunk: int = 512
     # Static entry capacity = bin_e_factor * num_triangles + 8192 (each
     # triangle bins to every tile its projected bbox overlaps; overflow is
     # counted in stats and means dropped geometry — raise the factor).

@@ -69,17 +69,11 @@ def main():
     log("oracle ready")
 
     for th, tw, chunk, sh, sw in [
-        (16, 16, 128, 0, 0),
-        (16, 16, 256, 0, 0),
         (16, 16, 512, 0, 0),
-        (16, 16, 1024, 0, 0),
-        (8, 16, 256, 0, 0),
         (8, 16, 512, 0, 0),
-        (16, 32, 512, 0, 0),
+        (8, 16, 256, 0, 0),
+        (16, 16, 1024, 0, 0),
         (8, 32, 512, 0, 0),
-        (16, 16, 512, 8, 16, ),
-        (32, 32, 512, 16, 32),
-        (8, 8, 256, 0, 0),
     ]:
         cfg = RenderConfig(method="bin", tile_h=th, tile_w=tw,
                            bin_chunk=chunk, sub_h=sh, sub_w=sw)

@@ -125,6 +125,42 @@ def test_bin_render_posed_object(tester):
     assert agree > 0.995, f"agreement {agree}"
 
 
+def test_bin_camera_inside_scene(tester):
+    """Camera inside the mesh: many triangles cross the camera plane and
+    bin conservatively to EVERY tile (accel/binning.py cross handling) —
+    the degenerate full-broadcast regime must stay exact, just slow
+    (VERDICT r2 ask #7)."""
+    tris, center, size = tester
+    scene = Scene.create([SceneObject.create(tris)])
+    # inside the tester dome, looking sideways
+    cam = _camera(center, size, np.asarray([0.05, 0.02, 0.04]) * size)
+    dd = max(400.0, 10 * size)
+    ref = render(scene, cam, RenderConfig(method="fixed", chunk=512,
+                                          draw_distance=dd))
+    out = render(scene, cam, RenderConfig(
+        method="bin", tile_h=TH, tile_w=TW, bin_chunk=64,
+        bin_e_factor=40.0,     # cross tris replicate to all 32 tiles
+        draw_distance=dd))
+    rt, bt = np.asarray(ref.hit_tri), np.asarray(out.hit_tri)
+    assert (rt >= 0).mean() > 0.5, "camera should see geometry all around"
+    agree = (rt == bt).mean()
+    assert agree > 0.995, f"agreement {agree}"
+
+
+def test_bin_overflow_reported(tester):
+    """An undersized entry table must be REPORTED (overflow_entries > 0),
+    never silent — the render path drops geometry when e_cap is exceeded
+    (VERDICT r2 ask #7: capacity story). The render path surfaces the
+    same scalar through intersect_binned(with_stats)."""
+    tris, center, size = tester
+    cam = _camera(center, size, [0, 0, -1.3 * size])
+    binned = bin_triangles(cam.projection(), jnp.asarray(cam.pos),
+                           tris.p1, tris.e1, tris.e2,
+                           RES_H, RES_W, TH, TW, e_cap=256, chunk=64)
+    assert int(binned.overflow_entries) > 0
+    assert int(binned.num_entries) == 256  # clamped at the cap
+
+
 def test_bin_grad_flows(tester):
     tris, center, size = tester
     scene = Scene.create([SceneObject.create(tris)])
