@@ -44,7 +44,7 @@ def main():
     e_cap = -(-e_cap // chunk) * chunk
     res_h, res_w = h + (-h) % th, w + (-w) % tw
     bs = jax.jit(lambda: bin_triangles(
-        proj, tris.p1, tris.e1, tris.e2, res_h, res_w,
+        proj, o, tris.p1, tris.e1, tris.e2, res_h, res_w,
         th, tw, e_cap=e_cap, chunk=chunk))()
     entry_tri = np.asarray(bs.entry_tri)
     starts = np.asarray(bs.starts)

@@ -54,10 +54,11 @@ def main():
                         focal=0.055)
     dd = max(400.0, 10 * size)
     proj = cam.projection()
+    o = jnp.asarray(cam.pos)
     e_cap = -(-(tris.num_triangles * 3 + 8192) // chunk) * chunk
 
     def prepass():
-        return bin_triangles(proj, tris.p1, tris.e1, tris.e2, res_h, res_w,
+        return bin_triangles(proj, o, tris.p1, tris.e1, tris.e2, res_h, res_w,
                              th, tw, e_cap=e_cap, chunk=chunk)
 
     b_tpu = jax.jit(prepass)()
@@ -74,7 +75,6 @@ def main():
     # kernel vs oracle at tester scale
     cfg = RenderConfig(method="bin", tile_h=th, tile_w=tw, bin_chunk=chunk,
                        draw_distance=dd)
-    o = jnp.asarray(cam.pos)
     rmd = jnp.asarray(cam.ray_directions())
     hit = jax.block_until_ready(jax.jit(
         lambda o_, d_: intersect_binned(o_, d_, tris, proj, cfg, res_h,
@@ -98,10 +98,11 @@ def main():
     cam2 = Camera.create(960, 540, pos=[0., 0., -3.], look_at=[0., 0., 0.],
                          up=[0., 1., 0.], film_h=0.024, focal=0.055)
     proj2 = cam2.projection()
+    o2 = jnp.asarray(cam2.pos)
     e_cap2 = -(-(800_000 * 3 + 8192) // 128) * 128
 
     def full():
-        return bin_triangles(proj2, dtris.p1, dtris.e1, dtris.e2, 544, 960,
+        return bin_triangles(proj2, o2, dtris.p1, dtris.e1, dtris.e2, 544, 960,
                              16, 16, e_cap=e_cap2, chunk=128).starts
 
     t_full = timed(jax.jit(full))

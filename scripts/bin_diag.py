@@ -39,7 +39,7 @@ def main():
     e_cap = int(n_tris * cfg.bin_e_factor) + 8192
     e_cap = -(-e_cap // cfg.bin_chunk) * cfg.bin_chunk
     bs = jax.jit(lambda: bin_triangles(
-        proj, tris.p1, tris.e1, tris.e2, h + (-h) % th, w + (-w) % tw,
+        proj, o, tris.p1, tris.e1, tris.e2, h + (-h) % th, w + (-w) % tw,
         th, tw, e_cap=e_cap, chunk=cfg.bin_chunk))()
     jax.block_until_ready(bs.starts)
     log(f"num_entries={int(bs.num_entries)} overflow={int(bs.overflow_entries)}"
@@ -133,7 +133,7 @@ def main():
     log(f"gather (T,6) i32 at E: {timed(jax.jit(stage_gather_i), itab, sidx):.2f} ms")
 
     def stage_full():
-        return bin_triangles(proj, p1, e1, e2, res_h, res_w, th, tw,
+        return bin_triangles(proj, o, p1, e1, e2, res_h, res_w, th, tw,
                              e_cap=e_cap, chunk=cfg.bin_chunk).starts
 
     log(f"full prepass: {timed(jax.jit(stage_full)):.2f} ms")
