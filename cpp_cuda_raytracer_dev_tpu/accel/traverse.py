@@ -547,31 +547,45 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     th, tw = config.tile_h, config.tile_w
-    sh, sw = config.sub_h, config.sub_w
+    if config.sub_h or config.sub_w:
+        raise ValueError("method='bin' generates rays in-kernel in "
+                         "row-major tile order; sub_h/sub_w reordering "
+                         "is a cluster-path (pallas2) option")
     chunk = config.bin_chunk
     t_n = tris.p1.shape[0]
     e_cap = int(t_n * config.bin_e_factor) + 8192
     e_cap = -(-e_cap // chunk) * chunk
 
-    tiles, meta = _tile_rays(d, res_h, res_w, th, tw, sh, sw)  # (nT, P, 3)
-    sh, sw = meta[6], meta[7]
-    n_sub = (th // sh) * (tw // sw) if (sh and sw) else 1
+    hp, wp = (-res_h) % th, (-res_w) % tw
+    h2, w2 = res_h + hp, res_w + wp
+    meta = (h2, w2, th, tw, hp, wp, 0, 0)
+    n_tx = w2 // tw
+    n_tiles = (h2 // th) * n_tx
 
     binned = bin_triangles(proj, o, tris.p1, tris.e1, tris.e2,
-                           res_h + meta[4], res_w + meta[5], th, tw,
+                           h2, w2, th, tw,
                            e_cap=e_cap, chunk=chunk, eps=config.eps)
 
-    # root AABB for the kernel's per-ray bound
+    # root AABB for the kernel's per-ray bound + the object-frame camera
+    # ray basis: d(ix, iy) ∝ n + (u/sx)(ix - ax) + (v/sy)(iy - ay), so
+    # rays are generated INSIDE the kernel from 9 scalars instead of
+    # rotating and streaming all R world rays (the (R, 3) rotate +
+    # tile transpose + per-item ray DMA measured ~14 ms/frame at 960x540)
     v = jnp.stack([tris.p1, tris.p1 + tris.e1, tris.p1 + tris.e2], axis=1)
     bmin = jnp.min(v.reshape(-1, 3), axis=0)
     bmax = jnp.max(v.reshape(-1, 3), axis=0)
-    origin10 = jnp.concatenate([o, bmin, bmax, binned.qstep[None]])
+    um = proj.u / proj.sx
+    vm = proj.v / proj.sy
+    base = proj.n - um * proj.adjust_x - vm * proj.adjust_y
+    params = jnp.concatenate([o, bmin, bmax, binned.qstep[None],
+                              base, um, vm])
 
     t_tiles, tri_tiles, steps = pallas_bin_intersect2(
-        tiles, binned.item_tile, binned.item_block, binned.starts,
-        origin10, binned.geom, n_items=binned.item_tile.shape[0],
+        binned.item_tile, binned.item_block, binned.starts,
+        params, binned.geom, n_tiles=n_tiles, p=th * tw, n_tx=n_tx,
+        th=th, tw=tw, n_items=binned.item_tile.shape[0],
         chunk=chunk, eps=config.eps,
-        draw_distance=config.draw_distance, n_sub=n_sub,
+        draw_distance=config.draw_distance, n_sub=1,
         interpret=interpret)
     # the kernel already returns the winner's TRIANGLE id (one-hot lane
     # extraction of the table's id row) — no per-ray decode gather

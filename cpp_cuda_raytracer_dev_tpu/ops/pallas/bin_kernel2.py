@@ -56,36 +56,54 @@ from ...utils.dtypes import MT_EPSILON
 _MISS_T = 3.0e38
 
 
-def _kernel(item_tile_ref, item_block_ref, starts_ref, origin10_ref,
-            d_ref, g_ref,                                  # pipelined VMEM
+def _kernel(item_tile_ref, item_block_ref, starts_ref, params_ref,
+            g_ref,                                         # pipelined VMEM
             out_t_ref, out_enc_ref, out_steps_ref,         # outputs
-            bound_ref,                                     # scratch (P, 1)
-            *, eps: float, draw_distance: float, chunk: int, n_sub: int):
+            d_ref, bound_ref,                              # scratch
+            *, eps: float, draw_distance: float, chunk: int, n_sub: int,
+            p: int, n_tx: int, th: int, tw: int):
     i = pl.program_id(0)
     tile = item_tile_ref[i]
     block = item_block_ref[i]
     first = jnp.logical_or(i == 0, item_tile_ref[jnp.maximum(i - 1, 0)]
                            != tile)
-    p = d_ref.shape[1]
-    qstep = origin10_ref[9]
 
     @pl.when(first)
     def _init():
+        # In-kernel ray generation: d = normalize(base + um*ix + vm*iy)
+        # with (base, um, vm) the OBJECT-FRAME camera basis (9 scalars,
+        # params[10:19]) — equivalent to Camera.ray_directions rotated by
+        # the object pose, but costs (P, 1)-shaped scalar math per tile
+        # instead of a 518k-ray (R, 3) rotate + HBM round-trip per frame
+        # (measured 14 ms of the 43.6 ms frame at dragon scale).
+        pi = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        ix = ((tile % n_tx) * tw + pi % tw).astype(jnp.float32)
+        iy = ((tile // n_tx) * th + pi // tw).astype(jnp.float32)
+        dc = []
+        for ax in range(3):
+            dc.append(params_ref[10 + ax] + params_ref[13 + ax] * ix
+                      + params_ref[16 + ax] * iy)
+        inv_len = 1.0 / jnp.sqrt(dc[0] * dc[0] + dc[1] * dc[1]
+                                 + dc[2] * dc[2])
+        d0 = dc[0] * inv_len
+        d1 = dc[1] * inv_len
+        d2 = dc[2] * inv_len
+        d_ref[:, 0:1] = d0
+        d_ref[:, 1:2] = d1
+        d_ref[:, 2:3] = d2
+
         # per-ray scene-exit bound from the root AABB (object frame);
         # rays on sublanes -> every op here is (P, 1)-shaped and tiny
-        d0 = d_ref[0, :, 0:1]
-        d1 = d_ref[0, :, 1:2]
-        d2 = d_ref[0, :, 2:3]
         bnd = jnp.full((p, 1), draw_distance, jnp.float32)
         r_near = jnp.full((p, 1), -jnp.inf, jnp.float32)
         r_far = jnp.full((p, 1), jnp.inf, jnp.float32)
         for ax, dax in ((0, d0), (1, d1), (2, d2)):
-            o_ax = origin10_ref[ax]
+            o_ax = params_ref[ax]
             dsf = jnp.where(jnp.abs(dax) < 1e-30,
                             jnp.where(dax < 0, -1e-30, 1e-30), dax)
             inv = 1.0 / dsf
-            ta = (origin10_ref[3 + ax] - o_ax) * inv
-            tb = (origin10_ref[6 + ax] - o_ax) * inv
+            ta = (params_ref[3 + ax] - o_ax) * inv
+            tb = (params_ref[6 + ax] - o_ax) * inv
             r_near = jnp.maximum(r_near, jnp.minimum(ta, tb))
             r_far = jnp.minimum(r_far, jnp.maximum(ta, tb))
         root_hit = (r_far >= jnp.maximum(r_near, 0.0) - 1e-4)
@@ -119,9 +137,9 @@ def _kernel(item_tile_ref, item_block_ref, starts_ref, origin10_ref,
 
             @pl.when(cmin < jnp.max(best_q))
             def _mt_sub(lo=lo, hi=hi, best_q=best_q):
-                dx = d_ref[0, lo:hi, 0:1]                  # (sp, 1)
-                dy = d_ref[0, lo:hi, 1:2]
-                dz = d_ref[0, lo:hi, 2:3]
+                dx = d_ref[lo:hi, 0:1]                     # (sp, 1)
+                dy = d_ref[lo:hi, 1:2]
+                dz = d_ref[lo:hi, 2:3]
                 det = dx * ax + dy * ay + dz * az          # (sp, L)
                 up = dx * bx + dy * by + dz * bz
                 vp = dx * cx + dy * cy + dz * cz
@@ -162,28 +180,33 @@ def _kernel(item_tile_ref, item_block_ref, starts_ref, origin10_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "n_items", "eps", "draw_distance", "n_sub",
+    static_argnames=("n_tiles", "p", "n_tx", "th", "tw", "chunk",
+                     "n_items", "eps", "draw_distance", "n_sub",
                      "interpret"))
-def pallas_bin_intersect2(d_tiles: jax.Array, item_tile: jax.Array,
+def pallas_bin_intersect2(item_tile: jax.Array,
                           item_block: jax.Array, starts: jax.Array,
-                          origin10: jax.Array, geom: jax.Array,
-                          n_items: int, chunk: int = 512,
+                          params: jax.Array, geom: jax.Array,
+                          n_tiles: int, p: int, n_tx: int, th: int,
+                          tw: int, n_items: int, chunk: int = 512,
                           eps: float = MT_EPSILON,
                           draw_distance: float = 400.0, n_sub: int = 1,
                           interpret: bool = False):
-    """Nearest hit per ray over binned entries, inverted-grid form.
+    """Nearest hit per ray over binned entries, inverted-grid form with
+    in-kernel ray generation.
 
-    d_tiles: (nT, P, 3) tile ray dirs (rays on sublanes); item_tile /
-    item_block: (n_items,) i32 work items sorted tile-major, padded by
-    repeating the final real item; starts: (nT+1,) entry ranges (kept for
-    the caller's decode); origin10: (10,) = origin|root_bmin|root_bmax|
-    qstep; geom: (Epad/chunk, 12, chunk) MT-constant blocks.
+    item_tile / item_block: (n_items,) i32 work items sorted tile-major,
+    padded by repeating the final real item; starts: (nT+1,) entry
+    ranges (unused by the kernel, kept for callers); params: (19,) =
+    origin(3) | root_bmin(3) | root_bmax(3) | qstep | ray base(3) |
+    u_step(3) | v_step(3), all in the OBJECT frame (rays are generated
+    inside the kernel from the camera basis — see _kernel._init); geom:
+    (Epad/chunk, 12, chunk) MT-constant blocks. n_tiles/p/n_tx/th/tw
+    describe the (padded) tile grid; p = th*tw rays per tile.
 
     Returns (t (nT, P), tri (nT, P) winner TRIANGLE id or -1 = miss (the
     id row rides the geometry blocks, no caller decode needed),
     steps (nT, 2) = [mt-executed items, items]).
     """
-    n_tiles, p, _ = d_tiles.shape
     if chunk & (chunk - 1):
         raise ValueError(f"chunk {chunk} must be a power of two")
     if p % n_sub:
@@ -193,27 +216,26 @@ def pallas_bin_intersect2(d_tiles: jax.Array, item_tile: jax.Array,
         num_scalar_prefetch=4,
         grid=(n_items,),
         in_specs=[
-            pl.BlockSpec((1, p, 3), lambda i, it, ib, st, o10: (it[i], 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 12, chunk),
-                         lambda i, it, ib, st, o10: (ib[i], 0, 0),
+                         lambda i, it, ib, st, pr: (ib[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, p, 1), lambda i, it, ib, st, o10: (it[i], 0, 0),
+            pl.BlockSpec((1, p, 1), lambda i, it, ib, st, pr: (it[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda i, it, ib, st, o10: (it[i], 0, 0),
+            pl.BlockSpec((1, p, 1), lambda i, it, ib, st, pr: (it[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 1), lambda i, it, ib, st, o10: (it[i], 0, 0),
+            pl.BlockSpec((1, 8, 1), lambda i, it, ib, st, pr: (it[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
+            pltpu.VMEM((p, 3), jnp.float32),
             pltpu.VMEM((p, 1), jnp.float32),
         ],
     )
     kernel = functools.partial(_kernel, eps=eps,
                                draw_distance=draw_distance, chunk=chunk,
-                               n_sub=n_sub)
+                               n_sub=n_sub, p=p, n_tx=n_tx, th=th, tw=tw)
     out_t, out_enc, out_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -223,5 +245,5 @@ def pallas_bin_intersect2(d_tiles: jax.Array, item_tile: jax.Array,
             jax.ShapeDtypeStruct((n_tiles, 8, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(item_tile, item_block, starts, origin10, d_tiles, geom)
+    )(item_tile, item_block, starts, params, geom)
     return out_t[:, :, 0], out_enc[:, :, 0], out_steps[:, :2, 0]

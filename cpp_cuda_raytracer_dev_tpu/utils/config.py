@@ -33,8 +33,11 @@ class RenderConfig:
     # machine, so the TPU path uses wide leaves and dense per-leaf MT).
     leaf_size: int = 128
     # Ray-tile edge lengths (pixels): tiles are the unit of culling.
-    tile_h: int = 8
-    tile_w: int = 128
+    # 16x16 is the on-chip optimum for the flagship bin path (with
+    # bin_chunk 512); the cluster paths (grid/pallas*) were tuned at
+    # 64x64 via bench flags.
+    tile_h: int = 16
+    tile_w: int = 16
     # Max candidate clusters per tile after culling (static shape bound).
     max_candidates: int = 48
     # Two-level cull: pre-select `max_groups` groups of `group_size`
