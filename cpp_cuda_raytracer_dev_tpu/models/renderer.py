@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.intersect import (FixedOriginCache, Hit, mt_brute, mt_fixed_origin,
-                             mt_test)
+from ..ops.intersect import FixedOriginCache, Hit, mt_brute, mt_fixed_origin
 from ..utils.config import RenderConfig
 from .camera import Camera
 from .scene import Scene
@@ -119,8 +118,14 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
     """Differentiable shading given (stop-gradient) hit indices.
 
     Returns (radiance (R,3), normal (R,3), point (R,3), hit_mask (R,)).
+
+    All per-ray math runs on flat (R,) component arrays: (R, 3)-shaped
+    intermediates put the 3-axis on TPU lanes (125/128 padding waste per
+    vector op — measured ~0.17 ms per op at R=800k), so vectors are
+    sliced into components once after the gather and only stacked back
+    at the very end.
     """
-    from ..ops.shade import phong_radiance
+    from ..ops.shade import phong_radiance_c
 
     num_r = rmd.shape[0]
     tri_idx = jnp.maximum(hit.tri, 0)
@@ -133,28 +138,63 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
         gather_rows = lambda tables, idx: tuple(  # noqa: E731
             jnp.take(t, idx, axis=0) for t in tables)
 
+    dx, dy, dz = rmd[:, 0], rmd[:, 1], rmd[:, 2]             # world (R,)
     for oi, obj in enumerate(scene.objects):
         mask = (hit.obj == oi) & (hit.tri >= 0)
         p1, e1, e2, n_obj, color = gather_rows(
             (obj.tris.p1, obj.tris.e1, obj.tris.e2, obj.tris.n,
              obj.tris.color), tri_idx)
 
-        d_obj = obj.pose.inv_apply_vec(rmd)
-        o_obj = obj.pose.inv_apply(origin)
-        t_diff, _, _, valid = mt_test(o_obj[None, :], d_obj, p1, e1, e2,
-                                      config.eps)
+        # object-frame ray dir: R^T d, componentwise (R = pose rotation)
+        m = obj.pose.matrix()                                 # (3, 3)
+        ox_, oy_, oz_ = obj.pose.inv_apply(origin)
+        ddx = m[0, 0] * dx + m[1, 0] * dy + m[2, 0] * dz
+        ddy = m[0, 1] * dx + m[1, 1] * dy + m[2, 1] * dz
+        ddz = m[0, 2] * dx + m[1, 2] * dy + m[2, 2] * dz
+
+        # Möller–Trumbore t, componentized (same math as ops/intersect.py
+        # mt_test: pvec = d x e2, det = e1.pvec, tvec = o - p1,
+        # qvec = tvec x e1, t = e2.qvec/det), acceptance per Trixel.cu:
+        # 106,127
+        e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
+        e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
+        tvx = ox_ - p1[:, 0]
+        tvy = oy_ - p1[:, 1]
+        tvz = oz_ - p1[:, 2]
+        pvx = ddy * e2z - ddz * e2y
+        pvy = ddz * e2x - ddx * e2z
+        pvz = ddx * e2y - ddy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        v = (ddx * qvx + ddy * qvy + ddz * qvz) * inv
+        t_diff = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        eps = config.eps
+        valid = ((jnp.abs(det) >= eps) & (u >= eps) & (v >= eps)
+                 & (u + v <= 1.0 + eps) & (t_diff >= eps))
         # Differentiable t where the recompute agrees; fall back to the
         # traversal's t otherwise (degenerate/epsilon-edge cases).
         t = jnp.where(valid & mask, t_diff, hit.t)
 
-        pnt = origin[None, :] + t[..., None] * rmd           # world space
-        nrm = obj.pose.apply_vec(n_obj)                       # world space
-        rad = phong_radiance(pnt, nrm, rmd, color, scene.phong)
+        px = origin[0] + t * dx                              # world space
+        py = origin[1] + t * dy
+        pz = origin[2] + t * dz
+        # world normal: R n, componentwise
+        nx_, ny_, nz_ = n_obj[:, 0], n_obj[:, 1], n_obj[:, 2]
+        nwx = m[0, 0] * nx_ + m[0, 1] * ny_ + m[0, 2] * nz_
+        nwy = m[1, 0] * nx_ + m[1, 1] * ny_ + m[1, 2] * nz_
+        nwz = m[2, 0] * nx_ + m[2, 1] * ny_ + m[2, 2] * nz_
+        rad = phong_radiance_c((px, py, pz), (nwx, nwy, nwz),
+                               (dx, dy, dz), color, scene.phong)
 
         m3 = mask[..., None]
         radiance = jnp.where(m3, rad, radiance)
-        normal = jnp.where(m3, nrm, normal)
-        point = jnp.where(m3, pnt, point)
+        normal = jnp.where(m3, jnp.stack([nwx, nwy, nwz], axis=-1),
+                           normal)
+        point = jnp.where(m3, jnp.stack([px, py, pz], axis=-1), point)
 
     return radiance, normal, point, hit.tri >= 0
 

@@ -43,6 +43,30 @@ def phong_radiance(hit_point: jax.Array, normal: jax.Array,
             + params.light_color[None, :] * spec[..., None])
 
 
+def phong_radiance_c(hit_point, normal, ray_dir, tri_color: jax.Array,
+                     params: PhongParams) -> jax.Array:
+    """Componentized `phong_radiance`: hit_point/normal/ray_dir are
+    (px, py, pz)-style tuples of flat (R,) arrays (TPU-friendly layout —
+    see shade_hits), tri_color stays (R, 3). Identical math; returns
+    (R, 3)."""
+    px, py, pz = hit_point
+    nx, ny, nz = normal
+    dx, dy, dz = ray_dir
+    lx = params.light_pos[0] - px
+    ly = params.light_pos[1] - py
+    lz = params.light_pos[2] - pz
+    inv_len = jax.lax.rsqrt(lx * lx + ly * ly + lz * lz)
+    lx, ly, lz = lx * inv_len, ly * inv_len, lz * inv_len
+    dot_r_n = lx * nx + ly * ny + lz * nz                    # (R,)
+    rsum = ((lx - 2.0 * dot_r_n * nx) * dx
+            + (ly - 2.0 * dot_r_n * ny) * dy
+            + (lz - 2.0 * dot_r_n * nz) * dz)
+    diffuse = params.diffuse * jnp.abs(dot_r_n)
+    spec = params.specular * jnp.abs(rsum) ** params.exponent
+    return (tri_color * diffuse[..., None] * params.light_color[None, :]
+            + params.light_color[None, :] * spec[..., None])
+
+
 def tonemap_maxnorm(radiance: jax.Array) -> jax.Array:
     """Per-pixel max-channel normalize to [0, 1] (Camera.cu:56-59).
 
