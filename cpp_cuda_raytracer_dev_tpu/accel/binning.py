@@ -169,6 +169,12 @@ def bin_triangles(proj, origin: jax.Array,
         jnp.minimum(jnp.where(f0, a0, BIG), jnp.where(f1, a1, BIG)),
         jnp.where(f2, a2, BIG))                             # (T,)
     depth = jnp.maximum(depth, 0.0)
+    # camera-plane crossers: a hit can be NEARER than the min front-vertex
+    # depth (the hit point's n-component is unconstrained below it), so
+    # their exit certificate must be 0 or the kernel's cmin gate could
+    # unsoundly skip a block holding the true nearest hit (camera-inside
+    # scenes). They already get full-screen bboxes above.
+    depth = jnp.where(cross, 0.0, depth)
     d_lo = jnp.min(jnp.where(onscreen, depth, BIG))
     d_hi = jnp.max(jnp.where(onscreen & jnp.isfinite(depth), depth, 0.0))
     scale = f32(dmax) / jnp.maximum(d_hi - d_lo, 1e-20)
@@ -211,7 +217,11 @@ def bin_triangles(proj, origin: jax.Array,
     q = (jnp.arange(n_tiles, dtype=jnp.int32) << dbits)     # (nT,)
     lo = jnp.zeros((n_tiles,), jnp.int32)
     hi = jnp.full((n_tiles,), e_cap, jnp.int32)
-    for _ in range(max(1, (e_cap - 1).bit_length())):
+    # the interval is [lo, hi] with hi = e_cap inclusive: ceil(log2(e_cap+1))
+    # halvings guarantee convergence. (e_cap-1).bit_length() is one round
+    # short exactly when e_cap is a power of two — an understated starts[t]
+    # then truncates tile t-1's segment and silently drops geometry.
+    for _ in range(e_cap.bit_length()):
         mid = (lo + hi) // 2
         km = jnp.take(key, jnp.minimum(mid, e_cap - 1))
         lt = km < q

@@ -532,15 +532,21 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
 def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
                      config: RenderConfig, res_h: int, res_w: int,
                      interpret: bool | None = None):
-    """Gen-3 perf path: screen-space tile binning (accel/binning.py) +
-    sequential-streaming tile kernel (ops/pallas/bin_kernel.py).
+    """Flagship perf path: screen-space tile binning (accel/binning.py) +
+    inverted-grid streaming kernel (ops/pallas/bin_kernel2.py).
 
     ``proj`` is the camera Projection already transformed into the
-    object's frame; ``o``/``d`` are the object-frame origin and (R, 3)
-    unit ray dirs (row-major). Unlike the cluster path there is no
-    per-tile candidate budget: bins are exact, so the only capacity
-    limit is the global entry table (config.bin_e_factor).
+    object's frame; ``o`` is the object-frame origin. PRIMARY RAYS ONLY:
+    the kernel regenerates each pixel's direction from ``proj``'s 9-scalar
+    basis (in-kernel ray gen), so ``d`` is IGNORED — a caller passing
+    custom/non-primary directions must use another method (it is kept in
+    the signature so all trace_rays backends share one call shape).
+    Unlike the cluster path there is no per-tile candidate budget: bins
+    are exact, so the only capacity limit is the global entry table
+    (config.bin_e_factor); overflow is counted in stats (with_stats) and
+    validated loudly by bench.py.
     """
+    del d  # primary rays are derived from proj (see docstring)
     from ..accel.binning import bin_triangles
     from ..ops.pallas.bin_kernel2 import pallas_bin_intersect2
 

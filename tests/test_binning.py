@@ -161,6 +161,60 @@ def test_bin_overflow_reported(tester):
     assert int(binned.num_entries) == 256  # clamped at the cap
 
 
+@pytest.mark.parametrize("e_cap,chunk", [(512, 64), (1024, 64), (448, 64)])
+def test_starts_exact_vs_numpy(tester, e_cap, chunk):
+    """Per-tile segment starts must equal numpy's lower_bound over the
+    sorted keys — including power-of-two e_cap, where the fixed-iteration
+    binary search used to run one round short ((e_cap-1).bit_length())
+    and could understate starts[t], truncating tile t-1's segment
+    (ADVICE r3, medium)."""
+    tris, center, size = tester
+    cam = _camera(center, size, [0, 0, -1.3 * size])
+    n_tiles = (-(-RES_W // TW)) * (-(-RES_H // TH))
+    dbits = 31 - n_tiles.bit_length()
+    key, _ = bin_triangles(cam.projection(), jnp.asarray(cam.pos),
+                           tris.p1, tris.e1, tris.e2,
+                           RES_H, RES_W, TH, TW,
+                           e_cap=e_cap, chunk=chunk, _stage="sort")
+    starts, _ = bin_triangles(cam.projection(), jnp.asarray(cam.pos),
+                              tris.p1, tris.e1, tris.e2,
+                              RES_H, RES_W, TH, TW,
+                              e_cap=e_cap, chunk=chunk, _stage="starts")
+    key = np.asarray(key).astype(np.int64)
+    n_valid = int((key != 2**31 - 1).sum())
+    expect = np.minimum(
+        np.searchsorted(key, np.arange(n_tiles, dtype=np.int64) << dbits,
+                        side="left"),
+        n_valid)
+    got = np.asarray(starts)
+    np.testing.assert_array_equal(got[:-1], expect)
+    assert got[-1] == n_valid
+
+
+def test_cross_tri_zero_depth_certificate():
+    """Camera-plane-crossing triangles must carry a 0 depth certificate:
+    their hit can be NEARER than the min front-vertex depth, so a
+    positive certificate could let the kernel's cmin gate skip the block
+    holding the true nearest hit (ADVICE r3)."""
+    cam = Camera.create(RES_W, RES_H, pos=[0.0, 0.0, 0.0],
+                        look_at=[0.0, 0.0, 1.0], up=[0, 1, 0],
+                        film_h=0.024, focal=0.055)
+    # one vertex behind the camera plane, two far in front: the visible
+    # sliver near the camera is much closer than either front vertex
+    tv = np.array([[[0.0, -0.5, -1.0],
+                    [0.5, 0.5, 8.0],
+                    [-0.5, 0.5, 8.0]]], np.float32)
+    tris = Triangles.from_vertices(tv)
+    binned = bin_triangles(cam.projection(), jnp.asarray(cam.pos),
+                           tris.p1, tris.e1, tris.e2,
+                           RES_H, RES_W, TH, TW, e_cap=64, chunk=64)
+    assert int(binned.cross_tris) == 1
+    depth_row = np.asarray(binned.geom)[:, 10, :].reshape(-1)
+    live = np.asarray(binned.entry_tri) >= 0
+    assert live.sum() == 32          # full-screen: every tile
+    np.testing.assert_array_equal(depth_row[live], 0.0)
+
+
 def test_bin_grad_flows(tester):
     tris, center, size = tester
     scene = Scene.create([SceneObject.create(tris)])
