@@ -173,9 +173,11 @@ def intersect_raster(o: jax.Array, d: jax.Array, tris, proj,
                                    & jnp.any(a > 0.0, axis=1))
     n_ovf = jnp.sum(ovf_mask.astype(jnp.int32))
     cap = config.raster_ovf_cap
-    if cap > 0:
+
+    def dense_pass(k):
+        """Exact matmul-MT over the k highest-id overflow triangles."""
         score = jnp.where(ovf_mask, jnp.arange(t_n, dtype=jnp.int32), -1)
-        _, sel = jax.lax.top_k(score, min(cap, t_n))        # (cap,)
+        _, sel = jax.lax.top_k(score, min(k, t_n))          # (k,)
         sel_ok = jnp.take(ovf_mask, sel)
         md = jnp.where(sel_ok[:, None], jnp.take(cache.m_det, sel, axis=0),
                        0.0)
@@ -185,7 +187,7 @@ def intersect_raster(o: jax.Array, d: jax.Array, tris, proj,
                        0.0)
         tdc = jnp.where(sel_ok, jnp.take(td, sel), 0.0)
         hp = jax.lax.Precision.HIGHEST
-        det = jnp.dot(d, md.T, precision=hp)                # (R, cap)
+        det = jnp.dot(d, md.T, precision=hp)                # (R, k)
         ud = jnp.dot(d, mu.T, precision=hp)
         vd = jnp.dot(d, mv.T, precision=hp)
         inv = 1.0 / det
@@ -196,17 +198,36 @@ def intersect_raster(o: jax.Array, d: jax.Array, tris, proj,
                & (u + v <= 1.0 + eps) & (t >= eps))
         t = jnp.where(okm, t, jnp.inf)
         tmin = jnp.min(t, axis=1)
-        amin = jnp.argmin(t, axis=1)
-        o_hit = Hit(
+        # ties on exactly equal t break to the LOWEST triangle id (the
+        # oracle's argmin-first semantics); sel is in descending-id order
+        # from top_k, so a plain argmin would pick the highest id
+        win = jnp.min(jnp.where(t == tmin[:, None], sel[None, :], _MAXI),
+                      axis=1)
+        return Hit(
             t=jnp.where(jnp.isfinite(tmin), tmin,
                         f32(config.draw_distance)),
-            tri=jnp.where(jnp.isfinite(tmin), jnp.take(sel, amin), -1),
+            tri=jnp.where(jnp.isfinite(tmin), win, -1),
             obj=jnp.where(jnp.isfinite(tmin), 0, -1).astype(jnp.int32))
+
+    residual = jnp.zeros((), jnp.int32)
+    if cap > 0:
+        # capacity self-healing (same pattern as intersect_binned): when
+        # the overflow list exceeds the static cap — a close-up camera
+        # routes MANY triangles here — a lax.cond re-runs the dense pass
+        # at 4x capacity instead of silently dropping geometry. Residual
+        # past 4x is still counted loudly in stats.
+        cap4 = min(4 * cap, t_n)
+        o_hit = jax.lax.cond(n_ovf > cap,
+                             lambda _: dense_pass(cap4),
+                             lambda _: dense_pass(cap), operand=None)
+        residual = jnp.maximum(n_ovf - cap4, 0)
         hit = hit.merge(o_hit)
+    else:
+        residual = n_ovf
 
     if config.with_stats:
         return hit, {
-            "overflow": jnp.maximum(n_ovf - cap, 0),
+            "overflow": residual,
             "ovf_tris": n_ovf,
             "pairs": jnp.sum((pix < npix).astype(jnp.int32)),
         }

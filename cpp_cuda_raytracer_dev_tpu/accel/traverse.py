@@ -543,8 +543,11 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     the signature so all trace_rays backends share one call shape).
     Unlike the cluster path there is no per-tile candidate budget: bins
     are exact, so the only capacity limit is the global entry table
-    (config.bin_e_factor); overflow is counted in stats (with_stats) and
-    validated loudly by bench.py.
+    (config.bin_e_factor). A full table self-heals: when the first pass
+    overflows (would drop geometry — the reference's traversal is exact,
+    Trixel.cu:70-169), a lax.cond re-bins at 2x e_cap and re-runs the
+    kernel (config.bin_escalate; residual overflow past 2x is still
+    reported in stats and validated loudly by bench.py).
     """
     del d  # primary rays are derived from proj (see docstring)
     from ..accel.binning import bin_triangles
@@ -568,10 +571,6 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     n_tx = w2 // tw
     n_tiles = (h2 // th) * n_tx
 
-    binned = bin_triangles(proj, o, tris.p1, tris.e1, tris.e2,
-                           h2, w2, th, tw,
-                           e_cap=e_cap, chunk=chunk, eps=config.eps)
-
     # root AABB for the kernel's per-ray bound + the object-frame camera
     # ray basis: d(ix, iy) ∝ n + (u/sx)(ix - ax) + (v/sy)(iy - ay), so
     # rays are generated INSIDE the kernel from 9 scalars instead of
@@ -583,18 +582,40 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     um = proj.u / proj.sx
     vm = proj.v / proj.sy
     base = proj.n - um * proj.adjust_x - vm * proj.adjust_y
-    params = jnp.concatenate([o, bmin, bmax, binned.qstep[None],
-                              base, um, vm])
 
-    t_tiles, tri_tiles, steps = pallas_bin_intersect2(
-        binned.item_tile, binned.item_block, binned.starts,
-        params, binned.geom, n_tiles=n_tiles, p=th * tw, n_tx=n_tx,
-        th=th, tw=tw, n_items=binned.item_tile.shape[0],
-        chunk=chunk, eps=config.eps,
-        draw_distance=config.draw_distance, n_sub=1,
-        interpret=interpret)
-    # the kernel already returns the winner's TRIANGLE id (one-hot lane
-    # extraction of the table's id row) — no per-ray decode gather
+    def bin_and_run(cap):
+        binned = bin_triangles(proj, o, tris.p1, tris.e1, tris.e2,
+                               h2, w2, th, tw,
+                               e_cap=cap, chunk=chunk, eps=config.eps)
+        params = jnp.concatenate([o, bmin, bmax, binned.qstep[None],
+                                  base, um, vm])
+        t_tiles, tri_tiles, steps = pallas_bin_intersect2(
+            binned.item_tile, binned.item_block, binned.starts,
+            params, binned.geom, n_tiles=n_tiles, p=th * tw, n_tx=n_tx,
+            th=th, tw=tw, n_items=binned.item_tile.shape[0],
+            chunk=chunk, eps=config.eps,
+            draw_distance=config.draw_distance, n_sub=1,
+            interpret=interpret)
+        # the kernel already returns the winner's TRIANGLE id (one-hot
+        # lane extraction of the table's id row) — no per-ray decode
+        return binned, t_tiles, tri_tiles, steps
+
+    binned, t_tiles, tri_tiles, steps = bin_and_run(e_cap)
+    overflow = binned.overflow_entries
+    entries = binned.num_entries
+    if config.bin_escalate:
+        # capacity escalation: geometry must never silently drop. Both
+        # branches compile; at runtime the 2x re-bin executes only on
+        # the (rare) overflowing frame.
+        def escalate(_):
+            b2, t2, tri2, s2 = bin_and_run(2 * e_cap)
+            return (t2, tri2, s2, b2.overflow_entries, b2.num_entries)
+
+        def keep(_):
+            return (t_tiles, tri_tiles, steps, overflow, entries)
+
+        t_tiles, tri_tiles, steps, overflow, entries = jax.lax.cond(
+            overflow > 0, escalate, keep, operand=None)
 
     t_flat = _untile(t_tiles, meta, res_h, res_w).reshape(-1)
     tri_flat = _untile(tri_tiles, meta, res_h, res_w).reshape(-1)
@@ -602,8 +623,8 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
               obj=jnp.where(tri_flat >= 0, 0, -1).astype(jnp.int32))
     if config.with_stats:
         return hit, {"steps": steps[:, 0], "chunks": steps[:, 1],
-                     "overflow": binned.overflow_entries,
-                     "entries": binned.num_entries,
+                     "overflow": overflow,
+                     "entries": entries,
                      "cross": binned.cross_tris}
     return hit
 

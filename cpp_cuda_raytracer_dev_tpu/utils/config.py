@@ -84,6 +84,11 @@ class RenderConfig:
     # Dragon-class @ 960x540/16x16 tiles measures ~1.3 entries/tri; the
     # prepass sort+gathers scale with this static cap, so keep it tight.
     bin_e_factor: float = 1.6
+    # Capacity self-healing: when the entry table overflows (dropped
+    # geometry), re-bin at 2x e_cap under lax.cond (runtime cost only on
+    # the overflowing frame; the reference never drops geometry,
+    # Trixel.cu:70-169). Residual overflow past 2x is still reported.
+    bin_escalate: bool = True
     # --- scatter-min rasterization path (method="raster", accel/raster.py)
     # Max projected-bbox span (pixels) handled by the per-triangle candidate
     # grid; triangles spanning more (or crossing the camera plane) go to the

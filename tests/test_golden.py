@@ -63,10 +63,29 @@ def test_golden_rabbit_grid(rabbit_path):
 
 
 def test_golden_tester_pallas2_matches_fixed_golden(tester_path):
-    """The flagship path must reproduce the committed fixed-path frame
+    """The pallas2 path must reproduce the committed fixed-path frame
     (same scene/camera) up to hit-selection ties."""
     want = np.load(GOLDEN)["tester_fixed"]
     img = _render(tester_path, 128, 72, "pallas2", leaf_size=32, tile_h=8,
                   tile_w=32, max_candidates=24)
+    diff = np.abs(img.astype(np.int16) - want.astype(np.int16))
+    assert (diff > 2).mean() < 0.02, f"{(diff > 2).mean():.4f} pixels off"
+
+
+def test_golden_tester_bin_matches_fixed_golden(tester_path):
+    """The FLAGSHIP bin path (the one bench.py measures) against the
+    committed fixed-path frame — end-to-end compose/tonemap regression
+    net for the headline method (VERDICT r3 weak #7)."""
+    want = np.load(GOLDEN)["tester_fixed"]
+    img = _render(tester_path, 128, 72, "bin", tile_h=16, tile_w=16,
+                  bin_chunk=64)
+    diff = np.abs(img.astype(np.int16) - want.astype(np.int16))
+    assert (diff > 2).mean() < 0.02, f"{(diff > 2).mean():.4f} pixels off"
+
+
+def test_golden_tester_raster_matches_fixed_golden(tester_path):
+    """The raster path against the committed fixed-path frame."""
+    want = np.load(GOLDEN)["tester_fixed"]
+    img = _render(tester_path, 128, 72, "raster")
     diff = np.abs(img.astype(np.int16) - want.astype(np.int16))
     assert (diff > 2).mean() < 0.02, f"{(diff > 2).mean():.4f} pixels off"
