@@ -48,9 +48,11 @@ BIG = 3.0e38   # python float: a concrete jnp constant at module
 class BinnedScene(struct.PyTreeNode):
     """Per-frame, per-object binning output (traced values)."""
 
-    geom: jax.Array      # (Epad/chunk, 12, chunk) f32 MT-constant blocks:
-                         #   A(3) | B(3) | C(3) | TD | depth | pad rows
-                         #   (see ops/pallas/bin_kernel2.py docstring)
+    geom: jax.Array      # (12, Epad) f32 MT-constant table: rows
+                         #   A(3) | B(3) | C(3) | TD | depth | tri-id —
+                         #   twelve flat entry-order gathers stacked, no
+                         #   transpose; the kernel BlockSpec slices
+                         #   (12, chunk) columns (bin_kernel2.py)
     entry_tri: jax.Array  # (Epad,) i32 triangle id per entry (-1 padding)
     starts: jax.Array    # (nT + 1,) i32 entry range per tile
     item_tile: jax.Array  # (I_cap,) i32 work-item -> tile (tile-major)
@@ -260,7 +262,15 @@ def bin_triangles(proj, origin: jax.Array,
     k1 = f32(1.0 - eps)
     # row 11: the triangle id as f32 (exact below 2^24) — the kernel
     # extracts the winner's id with a one-hot lane reduce, so the caller
-    # needs no per-ray decode gather at all
+    # needs no per-ray decode gather at all.
+    #
+    # Layout: ONE (T, 12) -> (E, 12) row gather, then transposed to the
+    # kernel's (12, Epad) row layout. Measured r4 (chained, honest
+    # fence): the row gather costs ~29 ms at E=1.3M (~22 ns/row) and the
+    # transpose FUSES INTO THE GATHER'S WRITE for free; splitting into 12
+    # flat per-component gathers costs ~18 ns/row EACH (~213 ms total) —
+    # the gather's per-row latency dominates and is paid per take() call,
+    # not per lane.
     ftab = jnp.stack(
         [k1 * mdx, k1 * mdy, k1 * mdz,
          mux - eps * mdx, muy - eps * mdy, muz - eps * mdz,
@@ -278,7 +288,7 @@ def bin_triangles(proj, origin: jax.Array,
     rows = jnp.where(live, rows, dead_row)                  # det=0 rejects
     rows = jnp.concatenate(
         [rows, jnp.broadcast_to(dead_row, (chunk, 12))], axis=0)
-    geom = rows.reshape(epad // chunk, chunk, 12).transpose(0, 2, 1)
+    geom = rows.T                                           # (12, Epad)
     entry_tri = jnp.concatenate(
         [tri_sorted, jnp.full((chunk,), -1, jnp.int32)])
 

@@ -529,6 +529,51 @@ def intersect_clustered_pallas_v2(o: jax.Array, d: jax.Array,
     return hit
 
 
+def _ray_table(proj, o, bmin, bmax, n_tiles: int, n_tx: int,
+               th: int, tw: int, draw_distance: float) -> jax.Array:
+    """(n_tiles, th*tw, 4) f32 [dx | dy | dz | scene-exit bound] in
+    row-major tile order — the bin kernel's streamed per-tile ray block.
+
+    All math is flat (N,) component arrays (N = n_tiles*p): (N, 3)
+    layouts put the 3-axis on lanes (42/128 padding waste) and per-tile
+    (P, 1) math inside the kernel used 1 lane of 128. The bound is the
+    far slab intersection with the object's root AABB (+eps), 0 when the
+    ray misses the box entirely — the kernel's early-exit certificate
+    comparand, exactly the gen-4 in-kernel computation.
+    """
+    f32 = jnp.float32
+    p = th * tw
+    n = n_tiles * p
+    idx = jnp.arange(n, dtype=jnp.int32)
+    t = idx // p
+    pi = idx - t * p
+    ix = ((t % n_tx) * tw + pi % tw).astype(f32)
+    iy = ((t // n_tx) * th + pi // tw).astype(f32)
+
+    um = proj.u / proj.sx
+    vm = proj.v / proj.sy
+    base = proj.n - um * proj.adjust_x - vm * proj.adjust_y
+    dc = [base[ax] + um[ax] * ix + vm[ax] * iy for ax in range(3)]
+    inv_len = jax.lax.rsqrt(dc[0] * dc[0] + dc[1] * dc[1]
+                            + dc[2] * dc[2])
+    d0, d1, d2 = dc[0] * inv_len, dc[1] * inv_len, dc[2] * inv_len
+
+    r_near = jnp.full((n,), -jnp.inf, f32)
+    r_far = jnp.full((n,), jnp.inf, f32)
+    for ax, dax in ((0, d0), (1, d1), (2, d2)):
+        dsf = jnp.where(jnp.abs(dax) < 1e-30,
+                        jnp.where(dax < 0, -1e-30, 1e-30), dax)
+        inv = 1.0 / dsf
+        ta = (bmin[ax] - o[ax]) * inv
+        tb = (bmax[ax] - o[ax]) * inv
+        r_near = jnp.maximum(r_near, jnp.minimum(ta, tb))
+        r_far = jnp.minimum(r_far, jnp.maximum(ta, tb))
+    root_hit = r_far >= jnp.maximum(r_near, 0.0) - 1e-4
+    bnd = jnp.minimum(jnp.where(root_hit, r_far + 1e-3, 0.0),
+                      f32(draw_distance))
+    return jnp.stack([d0, d1, d2, bnd], axis=-1).reshape(n_tiles, p, 4)
+
+
 def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
                      config: RenderConfig, res_h: int, res_w: int,
                      interpret: bool | None = None):
@@ -571,28 +616,27 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     n_tx = w2 // tw
     n_tiles = (h2 // th) * n_tx
 
-    # root AABB for the kernel's per-ray bound + the object-frame camera
-    # ray basis: d(ix, iy) ∝ n + (u/sx)(ix - ax) + (v/sy)(iy - ay), so
-    # rays are generated INSIDE the kernel from 9 scalars instead of
-    # rotating and streaming all R world rays (the (R, 3) rotate +
-    # tile transpose + per-item ray DMA measured ~14 ms/frame at 960x540)
+    # Per-tile ray table (dirs + scene-exit bound), computed FLAT and
+    # lane-efficiently outside the kernel and streamed per tile through a
+    # revisited BlockSpec. The gen-4 kernel generated rays inside its
+    # per-tile init in (P, 1)-shaped scalar math (1 active lane of 128) —
+    # measured ~1 us per tile, a large share of kernel time at 2k tiles.
+    # Ray basis: d(ix, iy) ∝ n + (u/sx)(ix - ax) + (v/sy)(iy - ay)
+    # (Camera.cu:103-104 semantics in the object frame).
     v = jnp.stack([tris.p1, tris.p1 + tris.e1, tris.p1 + tris.e2], axis=1)
     bmin = jnp.min(v.reshape(-1, 3), axis=0)
     bmax = jnp.max(v.reshape(-1, 3), axis=0)
-    um = proj.u / proj.sx
-    vm = proj.v / proj.sy
-    base = proj.n - um * proj.adjust_x - vm * proj.adjust_y
+    rays = _ray_table(proj, o, bmin, bmax, n_tiles, n_tx, th, tw,
+                      config.draw_distance)
 
     def bin_and_run(cap):
         binned = bin_triangles(proj, o, tris.p1, tris.e1, tris.e2,
                                h2, w2, th, tw,
                                e_cap=cap, chunk=chunk, eps=config.eps)
-        params = jnp.concatenate([o, bmin, bmax, binned.qstep[None],
-                                  base, um, vm])
         t_tiles, tri_tiles, steps = pallas_bin_intersect2(
-            binned.item_tile, binned.item_block, binned.starts,
-            params, binned.geom, n_tiles=n_tiles, p=th * tw, n_tx=n_tx,
-            th=th, tw=tw, n_items=binned.item_tile.shape[0],
+            binned.item_tile, binned.item_block, binned.qstep[None],
+            rays, binned.geom, n_tiles=n_tiles, p=th * tw,
+            n_items=binned.item_tile.shape[0],
             chunk=chunk, eps=config.eps,
             draw_distance=config.draw_distance, n_sub=1,
             interpret=interpret)

@@ -82,9 +82,13 @@ def main(argv=None):
     t0 = time.perf_counter()
     out = jax.block_until_ready(frame_fn(scene, camera))
     print(f"first frame (incl. compile): {time.perf_counter() - t0:.2f}s")
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(frame_fn(scene, camera))
-    dt = time.perf_counter() - t0
+    # TRUE per-frame device time: batch-delta with distinct cameras and a
+    # host-forced fence (block_until_ready does not force execution on
+    # the tunneled axon runtime — r4 methodology fix, see bench.py)
+    from ..utils.profiling import device_time
+    dt = device_time(lambda i: frame_fn(
+        scene, camera.replace(pos=camera.pos + np.float32(i) * 1e-7)
+    ).radiance, n_lo=2, n_hi=5)
     print(f"steady-state frame: {dt * 1e3:.2f} ms ({1 / dt:.1f} FPS, "
           f"{w * h / dt:.3e} rays/s)")
 

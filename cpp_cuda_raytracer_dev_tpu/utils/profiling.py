@@ -21,10 +21,14 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import itertools
 import time
 from typing import Any
 
 import jax
+
+_UNIQ = itertools.count(1)   # never-repeating perturbation ids (see
+                             # device_time: defeats runtime dedup caching)
 
 
 @contextlib.contextmanager
@@ -81,7 +85,15 @@ def metrics_line(m: FrameMetrics) -> str:
 
 
 def timed(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Steady-state seconds per call, device-fenced."""
+    """Steady-state seconds per call, device-fenced.
+
+    WARNING (r4): on the tunneled axon runtime this loop pattern —
+    repeated identical calls, fenced with block_until_ready — reported
+    ~0.05 ms for a 207 ms frame: the runtime services repeated identical
+    dispatches from a cache and block_until_ready does not force remote
+    execution. Use `device_time` for any number that matters; this
+    helper is kept only for CPU-backend tests.
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
@@ -90,3 +102,54 @@ def timed(fn, *args, iters: int = 10, warmup: int = 2) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _force(x) -> float:
+    """Materialize a scalar derived from a pytree on the host — the only
+    reliable execution fence on the tunneled runtime."""
+    import jax.numpy as jnp
+    leaves = [jnp.ravel(v)[0].astype(jnp.float32)
+              for v in jax.tree.leaves(x) if hasattr(v, "dtype")]
+    tot = leaves[0]
+    for v in leaves[1:]:
+        tot = tot + v
+    return float(tot)
+
+
+def device_time(make_call, n_lo: int = 4, n_hi: int = 8) -> float:
+    """TRUE seconds of device compute per call, by the batch-delta method.
+
+    ``make_call(i)`` must RETURN the (lazy) output of one call whose
+    traced inputs are perturbed by the integer ``i`` (e.g. ``pos + i *
+    1e-12``) so every call is a DISTINCT execution — the tunneled axon
+    runtime dedup-caches repeated identical dispatches, and
+    block_until_ready does not force remote execution (measured r4:
+    0.05 ms reported for a 207 ms frame). This enqueues n distinct calls,
+    folds one element of every output into a single scalar, materializes
+    it on the host (the only real fence), and returns
+    (t(n_hi) - t(n_lo)) / (n_hi - n_lo) — fixed dispatch/transfer
+    latency cancels in the delta.
+    """
+    import jax.numpy as jnp
+
+    def run(n):
+        t0 = time.perf_counter()
+        tot = None
+        for _ in range(n):
+            # process-global counter: indices never repeat, so the
+            # runtime's dedup cache can never serve a timed call
+            out = make_call(next(_UNIQ))
+            leaves = [jnp.ravel(v)[0].astype(jnp.float32)
+                      for v in jax.tree.leaves(out)
+                      if hasattr(v, "dtype")]
+            s = leaves[0]
+            for v in leaves[1:]:
+                s = s + v
+            tot = s if tot is None else tot + s
+        _ = float(tot)
+        return time.perf_counter() - t0
+
+    _ = run(1)                         # compile + warm
+    t_lo = run(n_lo)
+    t_hi = run(n_hi)
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)

@@ -1,13 +1,13 @@
 #!/usr/bin/env python
-"""Incremental forward pipeline split at the tuned 16x16/c512 config:
-trace -> +shade -> +compose -> full render, plus bwd increments and an
-e_factor variant. Deltas between consecutive rows = stage cost."""
+"""TRUE incremental forward pipeline split at the tuned 16x16/c512 config:
+trace -> +shade -> +compose -> full render, plus bwd increments. Deltas
+between consecutive rows = stage cost. Uses the r4 batch-delta timing
+(utils.profiling.device_time) — the old block_until_ready loop measured
+dispatch, not compute, on the tunneled runtime."""
 
 from __future__ import annotations
 
-import dataclasses
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -16,23 +16,12 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, iters=10):
-    import jax
-    jax.block_until_ready(fn(*args))
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    jax.block_until_ready(jnp.ones((8,)))
+    _ = float(jnp.sum(jnp.ones((8,))))
     log("probe ok")
 
     from cpp_cuda_raytracer_dev_tpu import (Camera, RenderConfig, Scene,
@@ -42,6 +31,7 @@ def main():
                                                             trace_rays)
     from cpp_cuda_raytracer_dev_tpu.ops.shade import compose_framebuffer
     from cpp_cuda_raytracer_dev_tpu.utils.procgen import dragon_class_mesh
+    from cpp_cuda_raytracer_dev_tpu.utils.profiling import device_time
 
     n_tris = 800_000
     w, h = 960, 540
@@ -55,31 +45,39 @@ def main():
     proj = camera.projection()
     sg = jax.lax.stop_gradient
 
-    def f_trace(s_, o_, d_):
-        return trace_rays(s_, o_, d_, cfg, None, h, w, proj=proj).t
+    def po(i):
+        return o + np.float32(i) * 1e-7
 
-    def f_shade(s_, o_, d_):
-        hit = trace_rays(sg(s_), sg(o_), sg(d_), cfg, None, h, w,
+    def f_trace(o_):
+        return trace_rays(scene, o_, rmd, cfg, None, h, w, proj=proj).t
+
+    def f_shade(o_):
+        hit = trace_rays(scene, sg(o_), rmd, cfg, None, h, w,
                          proj=sg(proj))
-        rad, nrm, pnt, m = shade_hits(s_, o_, d_, hit, cfg)
+        rad, nrm, pnt, m = shade_hits(scene, o_, rmd, hit, cfg)
         return rad
 
-    def f_compose(s_, o_, d_):
-        hit = trace_rays(sg(s_), sg(o_), sg(d_), cfg, None, h, w,
+    def f_compose(o_):
+        hit = trace_rays(scene, sg(o_), rmd, cfg, None, h, w,
                          proj=sg(proj))
-        rad, nrm, pnt, m = shade_hits(s_, o_, d_, hit, cfg)
+        rad, nrm, pnt, m = shade_hits(scene, o_, rmd, hit, cfg)
         img = compose_framebuffer(rad, m, cfg.background_rgb)
         return jnp.where(m[..., None], rad, 0.0), img
 
     prev = 0.0
     for name, fn in [("trace", f_trace), ("trace+shade", f_shade),
                      ("  +compose", f_compose)]:
-        dt = timed(jax.jit(fn), scene, o, rmd)
+        f = jax.jit(fn)
+        dt = device_time(lambda i, f=f: f(po(i)))
         log(f"{name:14s}: {dt*1e3:7.2f} ms (+{(dt-prev)*1e3:6.2f})")
         prev = dt
 
-    t_full = timed(jax.jit(lambda s_, c_: render(s_, c_, cfg).radiance),
-                   scene, camera)
+    fr = jax.jit(lambda c_: render(scene, c_, cfg).radiance)
+
+    def pc(i):
+        return camera.replace(pos=camera.pos + np.float32(i) * 1e-7)
+
+    t_full = device_time(lambda i: fr(pc(i)))
     log(f"{'render full':14s}: {t_full*1e3:7.2f} ms "
         f"(+{(t_full-prev)*1e3:6.2f})")
 
@@ -88,22 +86,26 @@ def main():
     def loss(s_, c_):
         return jnp.mean(render(s_, c_, cfg).radiance * wgt)
 
-    t_fb = timed(jax.jit(jax.grad(loss, argnums=(0, 1))), scene, camera)
+    g_all = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    t_fb = device_time(lambda i: g_all(scene, pc(i)))
     log(f"{'fwd+bwd':14s}: {t_fb*1e3:7.2f} ms (bwd inc "
         f"{(t_fb-t_full)*1e3:.2f})")
 
-    # tighter entry cap: sort+gather scale with the static table size
-    cfg2 = dataclasses.replace(cfg, bin_e_factor=1.35)
-
-    def f_trace2(s_, o_, d_):
-        return trace_rays(s_, o_, d_, cfg2, None, h, w, proj=proj).t
-
-    dt = timed(jax.jit(f_trace2), scene, o, rmd)
-    log(f"{'trace ef1.35':14s}: {dt*1e3:7.2f} ms")
-
     # grads w.r.t. scene only (camera grads ride the same shade path)
-    t_fbs = timed(jax.jit(jax.grad(loss, argnums=0)), scene, camera)
+    g_s = jax.jit(jax.grad(loss, argnums=0))
+    t_fbs = device_time(lambda i: g_s(scene, pc(i)))
     log(f"{'fwd+bwd scene':14s}: {t_fbs*1e3:7.2f} ms")
+
+    # gather-VJP A/B: default scatter path vs the sorted/segment-sum path
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, sorted_scatter=False)
+
+    def loss2(s_, c_):
+        return jnp.mean(render(s_, c_, cfg2).radiance * wgt)
+
+    g2 = jax.jit(jax.grad(loss2, argnums=0))
+    t2 = device_time(lambda i: g2(scene, pc(i)))
+    log(f"{'fwd+bwd xla-scatter':14s}: {t2*1e3:7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ Runs the bin path twice on the SAME device inputs — once through the
 Mosaic-compiled kernel, once through the Pallas interpreter — and
 demands bit-identical hit ids and near-identical t (the compiled kernel
 uses pl.reciprocal+Newton, interpret uses true division). Writes
-PARITY_r03.json."""
+PARITY_r04.json."""
 
 from __future__ import annotations
 
@@ -76,7 +76,7 @@ def main():
     out = {"kernel": "ops/pallas/bin_kernel2.py",
            "check": "compiled (Mosaic, real chip) vs Pallas interpret",
            "rows": rows, "pass": ok}
-    with open("/root/repo/PARITY_r03.json", "w") as f:
+    with open("/root/repo/PARITY_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     sys.exit(0 if ok else 1)

@@ -78,7 +78,7 @@ def test_binning_depth_sorted_within_tile(tester):
                            RES_H, RES_W, TH, TW,
                            e_cap=tris.num_triangles * 8 + 4096)
     starts = np.asarray(binned.starts)
-    depth = np.asarray(binned.geom)[:, 10, :].reshape(-1)
+    depth = np.asarray(binned.geom)[10].reshape(-1)
     qstep = float(binned.qstep)
     for t in range(len(starts) - 1):
         seg = depth[starts[t]:starts[t + 1]]
@@ -209,7 +209,7 @@ def test_cross_tri_zero_depth_certificate():
                            tris.p1, tris.e1, tris.e2,
                            RES_H, RES_W, TH, TW, e_cap=64, chunk=64)
     assert int(binned.cross_tris) == 1
-    depth_row = np.asarray(binned.geom)[:, 10, :].reshape(-1)
+    depth_row = np.asarray(binned.geom)[10].reshape(-1)
     live = np.asarray(binned.entry_tri) >= 0
     assert live.sum() == 32          # full-screen: every tile
     np.testing.assert_array_equal(depth_row[live], 0.0)

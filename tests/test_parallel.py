@@ -203,3 +203,45 @@ def test_bin_method_rays_sharded_matches_single(tester_setup):
     out_1 = render(sc, cam, bcfg)
     agree = (np.asarray(out_s.hit_tri) == np.asarray(out_1.hit_tri)).mean()
     assert agree > 0.999, f"agreement {agree}"
+
+
+def test_bin_prim_sharded_matches_single(tester_setup):
+    """FLAGSHIP bin path on the 2-D rays x prims mesh: each prim shard
+    bins only its contiguous triangle range, nearest hits min-combine
+    over the prim axis (VERDICT r3 ask #7 — the bin path gains a
+    prim-sharded variant, not just rays-axis sharding)."""
+    import dataclasses
+
+    from cpp_cuda_raytracer_dev_tpu.parallel.render_pjit import (
+        render_sharded_2d_bin)
+    sc, cam, accel, cfg = tester_setup
+    bcfg = dataclasses.replace(cfg, method="bin", tile_h=4, tile_w=32,
+                               bin_chunk=64)
+    m = pmesh.make_mesh(8, prims=4)          # 2 ray bands x 4 prim shards
+    out_s = render_sharded_2d_bin(sc, cam, bcfg, m)
+    out_1 = render(sc, cam, bcfg)
+    agree = (np.asarray(out_s.hit_tri) == np.asarray(out_1.hit_tri)).mean()
+    assert agree > 0.999, f"agreement {agree}"
+    m_ok = np.asarray(out_s.hit_tri) == np.asarray(out_1.hit_tri)
+    np.testing.assert_allclose(np.asarray(out_s.hit_t)[m_ok],
+                               np.asarray(out_1.hit_t)[m_ok],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bin_prim_sharded_grad_runs(tester_setup):
+    """Gradients must flow through the prim-sharded bin path."""
+    import dataclasses
+
+    from cpp_cuda_raytracer_dev_tpu.parallel.render_pjit import (
+        render_sharded_2d_bin)
+    sc, cam, accel, cfg = tester_setup
+    bcfg = dataclasses.replace(cfg, method="bin", tile_h=4, tile_w=32,
+                               bin_chunk=64)
+    m = pmesh.make_mesh(4, prims=2)
+
+    def loss(s):
+        return jnp.mean(render_sharded_2d_bin(s, cam, bcfg, m).radiance)
+
+    g = jax.grad(loss)(sc)
+    leaves = [np.abs(np.asarray(x)).max() for x in jax.tree.leaves(g.phong)]
+    assert np.isfinite(leaves).all() and max(leaves) > 0
