@@ -116,7 +116,8 @@ def _force(x) -> float:
     return float(tot)
 
 
-def device_time(make_call, n_lo: int = 4, n_hi: int = 8) -> float:
+def device_time(make_call, n_lo: int = 4, n_hi: int = 8,
+                repeats: int = 3) -> float:
     """TRUE seconds of device compute per call, by the batch-delta method.
 
     ``make_call(i)`` must RETURN the (lazy) output of one call whose
@@ -127,8 +128,11 @@ def device_time(make_call, n_lo: int = 4, n_hi: int = 8) -> float:
     0.05 ms reported for a 207 ms frame). This enqueues n distinct calls,
     folds one element of every output into a single scalar, materializes
     it on the host (the only real fence), and returns
+    the MEDIAN over ``repeats`` estimates of
     (t(n_hi) - t(n_lo)) / (n_hi - n_lo) — fixed dispatch/transfer
-    latency cancels in the delta.
+    latency cancels in each delta, and the median suppresses tunnel
+    jitter (single deltas measured with +-10-20 ms of noise at
+    frame scale).
     """
     import jax.numpy as jnp
 
@@ -150,6 +154,10 @@ def device_time(make_call, n_lo: int = 4, n_hi: int = 8) -> float:
         return time.perf_counter() - t0
 
     _ = run(1)                         # compile + warm
-    t_lo = run(n_lo)
-    t_hi = run(n_hi)
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+    est = []
+    for _ in range(repeats):
+        t_lo = run(n_lo)
+        t_hi = run(n_hi)
+        est.append(max(t_hi - t_lo, 1e-9) / (n_hi - n_lo))
+    est.sort()
+    return est[len(est) // 2]
