@@ -209,28 +209,22 @@ def bin_triangles(proj, origin: jax.Array,
     if _stage == "sort":
         return key, tri_sorted
 
-    # ---- per-tile segment starts: lower_bound(sorted keys, t << dbits)
-    # by vectorized binary search — ceil(log2 E) rounds of one tiny
-    # (nT,) gather each. (A counts scatter-add + cumsum measured 11.3 ms
-    # at E=1.3M on chip — TPU scatter is serial-ish; jnp.searchsorted
-    # (method="sort") was both slower AND produced wrong results at this
-    # size, see scripts/scatter_probe*.py.) Invalid entries carry key
-    # 2^31-1 which is >= every (t << dbits), so they land past the end.
-    q = (jnp.arange(n_tiles, dtype=jnp.int32) << dbits)     # (nT,)
-    lo = jnp.zeros((n_tiles,), jnp.int32)
-    hi = jnp.full((n_tiles,), e_cap, jnp.int32)
-    # the interval is [lo, hi] with hi = e_cap inclusive: ceil(log2(e_cap+1))
-    # halvings guarantee convergence. (e_cap-1).bit_length() is one round
-    # short exactly when e_cap is a power of two — an understated starts[t]
-    # then truncates tile t-1's segment and silently drops geometry.
-    for _ in range(e_cap.bit_length()):
-        mid = (lo + hi) // 2
-        km = jnp.take(key, jnp.minimum(mid, e_cap - 1))
-        lt = km < q
-        lo = jnp.where(lt, mid + 1, lo)
-        hi = jnp.where(lt, hi, mid)
-    # clamp: with a FULL table (overflow) every key can be < q for trailing
-    # tiles and the fixed-iteration search walks lo past the end
+    # ---- per-tile segment starts: lower_bound(sorted keys, t << dbits).
+    # Computed as ONE fused count-reduction: starts[t] = #{j : tile(key_j)
+    # < t}, via a (nT,)-bin one-hot matmul over the entries' tile ids +
+    # exclusive cumsum. Earlier forms and why they lost (all on-chip):
+    # a 21-round vectorized binary search = 21 sequential unfusable tiny
+    # gathers (~7 ms of per-op latency); a counts scatter-add = 11.3 ms
+    # (TPU scatter is ~10 ns/element); jnp.searchsorted(method="sort")
+    # was both slower AND wrong at E>2M. Invalid entries carry key
+    # 2^31-1 => tile id > every real tile, counted past the end.
+    tile_of = (key >> dbits)                                # (E,) sorted
+    q = jnp.arange(n_tiles, dtype=jnp.int32)                # (nT,)
+    # fused broadcast-compare reduction: (nT, E) compares never
+    # materialize, XLA reduces along E per output row (~2.6G lane-ops
+    # at dragon scale ≈ 3 ms in one op)
+    lo = jnp.sum((tile_of[None, :] < q[:, None]).astype(jnp.int32),
+                 axis=1)                                    # (nT,)
     n_valid = jnp.minimum(e_tot, e_cap).astype(jnp.int32)
     starts = jnp.concatenate([jnp.minimum(lo, n_valid), n_valid[None]])
     if _stage == "starts":

@@ -63,7 +63,7 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
             rays_ref, g_ref,                               # pipelined VMEM
             out_t_ref, out_enc_ref, out_steps_ref,         # outputs
             *, eps: float, draw_distance: float, chunk: int, n_sub: int,
-            p: int):
+            p: int, esub: int, use_mxu: bool):
     i = pl.program_id(0)
     tile = item_tile_ref[i]
     first = jnp.logical_or(i == 0, item_tile_ref[jnp.maximum(i - 1, 0)]
@@ -76,37 +76,54 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
         out_steps_ref[...] = jnp.zeros_like(out_steps_ref)
 
     g = g_ref[...]                                         # (12, L)
-    # certificate: the minimum true depth of this block's entries; sorted
-    # order guarantees later blocks of this tile can only be deeper than
-    # cmin - qstep, but for THIS block cmin itself lower-bounds every t
-    cmin = jnp.min(g[10:11])
     bound = rays_ref[0, :, 3:4]                            # (P, 1)
-    wb = jnp.max(jnp.minimum(out_t_ref[0, :, 0:1], bound))
+    k1 = 1.0 - eps
+    eps2_det = (k1 * eps) ** 2
+    el = chunk // esub
 
-    @pl.when(cmin < wb)
-    def _mt():
-        ax, ay, az = g[0:1], g[1:2], g[2:3]                # (1, L)
-        bx, by, bz = g[3:4], g[4:5], g[5:6]
-        cx, cy, cz = g[6:7], g[7:8], g[8:9]
-        td = g[9:10]
-        k1 = 1.0 - eps
-        eps2_det = (k1 * eps) ** 2
+    # entry sub-blocks: depth-sorted entries mean each successive slice
+    # can early-exit independently — finer-grained than the gen-4
+    # whole-block gate (chunk quantization made the kernel scan ~2.2x
+    # the live entries at dragon scale)
+    for e in range(esub):
+        ge = g[:, e * el:(e + 1) * el]                     # (12, el)
+        # certificate: min true depth of this slice's entries; sorted
+        # order bounds every t in this AND later slices from below
+        cmin = jnp.min(ge[10:11])
+        wb = jnp.max(jnp.minimum(out_t_ref[0, :, 0:1], bound))
 
-        sp = p // n_sub
-        for q in range(n_sub):
-            lo, hi = q * sp, (q + 1) * sp
-            best_q = jnp.minimum(out_t_ref[0, lo:hi, 0:1],
-                                 bound[lo:hi])
+        @pl.when(cmin < wb)
+        def _mt(ge=ge):
+            td = ge[9:10]
+            sp = p // n_sub
+            for q in range(n_sub):
+                lo, hi = q * sp, (q + 1) * sp
 
-            @pl.when(cmin < jnp.max(best_q))
-            def _mt_sub(lo=lo, hi=hi):
-                dx = rays_ref[0, lo:hi, 0:1]               # (sp, 1)
-                dy = rays_ref[0, lo:hi, 1:2]
-                dz = rays_ref[0, lo:hi, 2:3]
-                det = dx * ax + dy * ay + dz * az          # (sp, L)
-                up = dx * bx + dy * by + dz * bz
-                vp = dx * cx + dy * cy + dz * cz
+                def _dots_vpu(lo=lo, hi=hi, ge=ge):
+                    dx = rays_ref[0, lo:hi, 0:1]           # (sp, 1)
+                    dy = rays_ref[0, lo:hi, 1:2]
+                    dz = rays_ref[0, lo:hi, 2:3]
+                    det = (dx * ge[0:1] + dy * ge[1:2]
+                           + dz * ge[2:3])                 # (sp, el)
+                    up = dx * ge[3:4] + dy * ge[4:5] + dz * ge[5:6]
+                    vp = dx * ge[6:7] + dy * ge[7:8] + dz * ge[8:9]
+                    return det, up, vp
 
+                def _dots_mxu(lo=lo, hi=hi, ge=ge):
+                    # (sp, 3) @ (3, 3*el) on the MXU, HIGHEST precision
+                    # (3-pass bf16 split — same class as the fixed-path
+                    # oracle's own dots)
+                    d3 = rays_ref[0, lo:hi, 0:3]           # (sp, 3)
+                    gabc = jnp.concatenate(
+                        [ge[0:3], ge[3:6], ge[6:9]], axis=1)  # (3, 3el)
+                    out = jax.lax.dot_general(
+                        d3, gabc, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (sp, 3el)
+                    return (out[:, 0:el], out[:, el:2 * el],
+                            out[:, 2 * el:3 * el])
+
+                det, up, vp = (_dots_mxu() if use_mxu else _dots_vpu())
                 dd2 = det * det
                 qq = jnp.minimum(up * det, vp * det)
                 qq = jnp.minimum(qq, (det - up - vp) * det)
@@ -121,7 +138,7 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
                 # triangle id via a tie-broken min over the id row
                 # (smallest id wins ties, matching the brute oracle)
                 tmin = jnp.min(tt, axis=1, keepdims=True)   # (sp, 1)
-                tri = jnp.min(jnp.where(tt == tmin, g[11:12], _MISS_T),
+                tri = jnp.min(jnp.where(tt == tmin, ge[11:12], _MISS_T),
                               axis=1, keepdims=True).astype(jnp.int32)
 
                 cur = out_t_ref[0, lo:hi, 0:1]
@@ -130,10 +147,11 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
                 out_enc_ref[0, lo:hi, 0:1] = jnp.where(
                     better, tri, out_enc_ref[0, lo:hi, 0:1])
 
-        # Mosaic cannot store scalars to VMEM: bump the counters with
-        # one-hot vector adds over the whole (1, 8, 1) block
-        row = jax.lax.broadcasted_iota(jnp.int32, out_steps_ref.shape, 1)
-        out_steps_ref[...] += (row == 0).astype(jnp.int32)
+            # Mosaic cannot store scalars to VMEM: bump the counters with
+            # one-hot vector adds over the whole (1, 8, 1) block
+            row = jax.lax.broadcasted_iota(jnp.int32,
+                                           out_steps_ref.shape, 1)
+            out_steps_ref[...] += (row == 0).astype(jnp.int32)
 
     row = jax.lax.broadcasted_iota(jnp.int32, out_steps_ref.shape, 1)
     out_steps_ref[...] += (row == 1).astype(jnp.int32)
@@ -142,7 +160,8 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_tiles", "p", "chunk", "n_items", "eps",
-                     "draw_distance", "n_sub", "interpret"))
+                     "draw_distance", "n_sub", "esub", "use_mxu",
+                     "interpret"))
 def pallas_bin_intersect2(item_tile: jax.Array, item_block: jax.Array,
                           params: jax.Array, rays: jax.Array,
                           geom: jax.Array,
@@ -150,6 +169,7 @@ def pallas_bin_intersect2(item_tile: jax.Array, item_block: jax.Array,
                           chunk: int = 512,
                           eps: float = MT_EPSILON,
                           draw_distance: float = 400.0, n_sub: int = 1,
+                          esub: int = 4, use_mxu: bool = False,
                           interpret: bool = False):
     """Nearest hit per ray over binned entries, inverted-grid form with
     streamed per-tile ray tables.
@@ -168,6 +188,10 @@ def pallas_bin_intersect2(item_tile: jax.Array, item_block: jax.Array,
         raise ValueError(f"chunk {chunk} must be a power of two")
     if p % n_sub:
         raise ValueError(f"tile ray count {p} not divisible by {n_sub}")
+    # entry sub-slices must be 128-lane aligned for Mosaic lane slicing;
+    # degrade esub rather than erroring for small test chunks
+    while esub > 1 and (chunk % esub or (chunk // esub) % 128):
+        esub //= 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -189,7 +213,8 @@ def pallas_bin_intersect2(item_tile: jax.Array, item_block: jax.Array,
     )
     kernel = functools.partial(_kernel, eps=eps,
                                draw_distance=draw_distance, chunk=chunk,
-                               n_sub=n_sub, p=p)
+                               n_sub=n_sub, p=p, esub=esub,
+                               use_mxu=use_mxu)
     out_t, out_enc, out_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -84,6 +84,13 @@ class RenderConfig:
     # Dragon-class @ 960x540/16x16 tiles measures ~1.3 entries/tri; the
     # prepass sort+gathers scale with this static cap, so keep it tight.
     bin_e_factor: float = 1.6
+    # Kernel entry sub-slices per chunk: depth-sorted entries early-exit
+    # at (chunk/esub)-entry granularity inside one grid item (must keep
+    # chunk/esub a multiple of 128 lanes; degraded automatically).
+    bin_esub: int = 4
+    # MT dot products on the MXU (HIGHEST precision 3-pass bf16) instead
+    # of VPU f32 broadcasts — A/B flag, r4.
+    bin_mxu: bool = False
     # Capacity self-healing: when the entry table overflows (dropped
     # geometry), re-bin at 2x e_cap under lax.cond (runtime cost only on
     # the overflowing frame; the reference never drops geometry,

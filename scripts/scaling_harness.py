@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Virtual-mesh scaling harness, strong + weak variants, written to
-SCALING_r03.json.
+SCALING_r04.json.
 
 Strong: equal TOTAL work at 1/2/4/8 devices (r02 form — on shared host
 cores "2 devices" can even come out faster than 1, which is XLA
@@ -109,7 +109,7 @@ def main():
         "strong_overhead_vs_1dev": [r["step_ms"] / sbase for r in strong],
         "weak_norm": [r["step_ms"] / (r["devices"] * wbase) for r in weak],
     }
-    with open("/root/repo/SCALING_r03.json", "w") as f:
+    with open("/root/repo/SCALING_r04.json", "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"strong_overhead": artifact["strong_overhead_vs_1dev"],
                       "weak_norm": artifact["weak_norm"]}))
