@@ -224,29 +224,42 @@ def main():
     if not args.skip_validate:
         agree, hit_rate = validate(scene, camera, config, accel)
     if args.agree_full:
-        # full-image agreement against the exact KD path (reference
-        # traversal semantics, Trixel.cu:70-169) — every ray, not a
-        # sample (VERDICT r2 ask #8)
-        from cpp_cuda_raytracer_dev_tpu.accel.traverse import (KDTables,
-                                                               kd_intersect)
+        # full-image agreement against the exact brute-force oracle
+        # (matmul-form fixed-origin MT, the analogue of the reference's
+        # own ground-truth kernel intersect_trixel_cuda,
+        # Trixel.cu:173-209) — every ray, not a sample (VERDICT r2 ask
+        # #8). Processed in ray slabs to bound the (rays x tri-chunk)
+        # intermediate; one compile, ~1.2e12 MACs on the MXU. (The KD
+        # full-image pass used previously faults the TPU worker at
+        # dragon scale — per-ray while_loops are not a viable oracle on
+        # this chip.)
         from cpp_cuda_raytracer_dev_tpu.models.renderer import trace_rays
-        from cpp_cuda_raytracer_dev_tpu.utils.cache import build_kd_cached
-        amin, amax = [np.asarray(a)
-                      for a in scene.objects[0].tris.aabbs()]
-        tree = build_kd_cached(amin, amax, min_node_size=args.leaf_size)
-        kdt = KDTables.from_tree(tree, scene.objects[0].tris)
+        from cpp_cuda_raytracer_dev_tpu.utils.config import (
+            RenderConfig as RC)
         rmd_all = jnp.asarray(camera.ray_directions())
-        hit_kd = jax.jit(lambda o_, d_: kd_intersect(
-            o_, d_, kdt, config.draw_distance, config.eps))(
-                jnp.asarray(camera.pos), rmd_all)
         proj = (camera.projection()
                 if config.method in ("bin", "raster") else None)
         hit_m = jax.jit(lambda o_, d_: trace_rays(
             scene, o_, d_, config, accel, camera.res_h, camera.res_w,
             proj=proj))(jnp.asarray(camera.pos), rmd_all)
+        ref_cfg = RC(method="fixed", chunk=1024,
+                     draw_distance=config.draw_distance, eps=config.eps)
+        slab = 32768
+        r_tot = rmd_all.shape[0]
+        pad = (-r_tot) % slab
+        rmd_pad = jnp.concatenate(
+            [rmd_all, jnp.broadcast_to(rmd_all[:1], (pad, 3))])
+        oracle_fn = jax.jit(lambda o_, d_: trace_rays(
+            scene, o_, d_, ref_cfg).tri)
+        tris_ref = []
+        for s in range(rmd_pad.shape[0] // slab):
+            tris_ref.append(np.asarray(oracle_fn(
+                jnp.asarray(camera.pos),
+                rmd_pad[s * slab:(s + 1) * slab])))
+        tri_oracle = np.concatenate(tris_ref)[:r_tot]
         agree_full = float(np.mean(
-            np.asarray(hit_m.tri) == np.asarray(hit_kd.tri)))
-        log(f"agree_full vs kd (all {rmd_all.shape[0]} rays): "
+            np.asarray(hit_m.tri) == tri_oracle))
+        log(f"agree_full vs brute oracle (all {r_tot} rays): "
             f"{agree_full:.6f}")
     if args.method == "pallas2":
         # per-tile candidate telemetry: scanned steps + residual overflow
