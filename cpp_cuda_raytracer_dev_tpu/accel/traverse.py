@@ -639,7 +639,7 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
             n_items=binned.item_tile.shape[0],
             chunk=chunk, eps=config.eps,
             draw_distance=config.draw_distance, n_sub=1,
-            esub=config.bin_esub, use_mxu=config.bin_mxu,
+            esub=config.bin_esub,
             interpret=interpret)
         # the kernel already returns the winner's TRIANGLE id (one-hot
         # lane extraction of the table's id row) — no per-ray decode

@@ -63,7 +63,7 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
             rays_ref, g_ref,                               # pipelined VMEM
             out_t_ref, out_enc_ref, out_steps_ref,         # outputs
             *, eps: float, draw_distance: float, chunk: int, n_sub: int,
-            p: int, esub: int, use_mxu: bool):
+            p: int, esub: int):
     i = pl.program_id(0)
     tile = item_tile_ref[i]
     first = jnp.logical_or(i == 0, item_tile_ref[jnp.maximum(i - 1, 0)]
@@ -98,32 +98,13 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
             sp = p // n_sub
             for q in range(n_sub):
                 lo, hi = q * sp, (q + 1) * sp
-
-                def _dots_vpu(lo=lo, hi=hi, ge=ge):
-                    dx = rays_ref[0, lo:hi, 0:1]           # (sp, 1)
-                    dy = rays_ref[0, lo:hi, 1:2]
-                    dz = rays_ref[0, lo:hi, 2:3]
-                    det = (dx * ge[0:1] + dy * ge[1:2]
-                           + dz * ge[2:3])                 # (sp, el)
-                    up = dx * ge[3:4] + dy * ge[4:5] + dz * ge[5:6]
-                    vp = dx * ge[6:7] + dy * ge[7:8] + dz * ge[8:9]
-                    return det, up, vp
-
-                def _dots_mxu(lo=lo, hi=hi, ge=ge):
-                    # (sp, 3) @ (3, 3*el) on the MXU, HIGHEST precision
-                    # (3-pass bf16 split — same class as the fixed-path
-                    # oracle's own dots)
-                    d3 = rays_ref[0, lo:hi, 0:3]           # (sp, 3)
-                    gabc = jnp.concatenate(
-                        [ge[0:3], ge[3:6], ge[6:9]], axis=1)  # (3, 3el)
-                    out = jax.lax.dot_general(
-                        d3, gabc, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)  # (sp, 3el)
-                    return (out[:, 0:el], out[:, el:2 * el],
-                            out[:, 2 * el:3 * el])
-
-                det, up, vp = (_dots_mxu() if use_mxu else _dots_vpu())
+                dx = rays_ref[0, lo:hi, 0:1]               # (sp, 1)
+                dy = rays_ref[0, lo:hi, 1:2]
+                dz = rays_ref[0, lo:hi, 2:3]
+                det = (dx * ge[0:1] + dy * ge[1:2]
+                       + dz * ge[2:3])                     # (sp, el)
+                up = dx * ge[3:4] + dy * ge[4:5] + dz * ge[5:6]
+                vp = dx * ge[6:7] + dy * ge[7:8] + dz * ge[8:9]
                 dd2 = det * det
                 qq = jnp.minimum(up * det, vp * det)
                 qq = jnp.minimum(qq, (det - up - vp) * det)
@@ -160,7 +141,7 @@ def _kernel(item_tile_ref, item_block_ref, params_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_tiles", "p", "chunk", "n_items", "eps",
-                     "draw_distance", "n_sub", "esub", "use_mxu",
+                     "draw_distance", "n_sub", "esub",
                      "interpret"))
 def pallas_bin_intersect2(item_tile: jax.Array, item_block: jax.Array,
                           params: jax.Array, rays: jax.Array,
@@ -169,7 +150,7 @@ def pallas_bin_intersect2(item_tile: jax.Array, item_block: jax.Array,
                           chunk: int = 512,
                           eps: float = MT_EPSILON,
                           draw_distance: float = 400.0, n_sub: int = 1,
-                          esub: int = 4, use_mxu: bool = False,
+                          esub: int = 1,
                           interpret: bool = False):
     """Nearest hit per ray over binned entries, inverted-grid form with
     streamed per-tile ray tables.
@@ -213,8 +194,7 @@ def pallas_bin_intersect2(item_tile: jax.Array, item_block: jax.Array,
     )
     kernel = functools.partial(_kernel, eps=eps,
                                draw_distance=draw_distance, chunk=chunk,
-                               n_sub=n_sub, p=p, esub=esub,
-                               use_mxu=use_mxu)
+                               n_sub=n_sub, p=p, esub=esub)
     out_t, out_enc, out_steps = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -85,12 +85,12 @@ class RenderConfig:
     # prepass sort+gathers scale with this static cap, so keep it tight.
     bin_e_factor: float = 1.6
     # Kernel entry sub-slices per chunk: depth-sorted entries early-exit
-    # at (chunk/esub)-entry granularity inside one grid item (must keep
-    # chunk/esub a multiple of 128 lanes; degraded automatically).
-    bin_esub: int = 4
-    # MT dot products on the MXU (HIGHEST precision 3-pass bf16) instead
-    # of VPU f32 broadcasts — A/B flag, r4.
-    bin_mxu: bool = False
+    # at (chunk/esub)-entry granularity inside one grid item. A/B'd on
+    # chip at dragon scale (scripts/kernel_ab.py, honest timing): esub=4
+    # scans 25% FEWER entries but runs 42% SLOWER (per-slice gate +
+    # narrower ops overhead), so the default stays 1. An MXU dot variant
+    # was also tried and does not compile under Mosaic (K=3 dot_general).
+    bin_esub: int = 1
     # Capacity self-healing: when the entry table overflows (dropped
     # geometry), re-bin at 2x e_cap under lax.cond (runtime cost only on
     # the overflowing frame; the reference never drops geometry,

@@ -78,14 +78,14 @@ def main():
             proj, o, bmin, bmax, n_tiles, n_tx, th, tw, 400.0))()
 
         for esub in (1, 4) if chunk == 512 else (4, 8):
-            for mxu in (False, True):
-                fk = jax.jit(lambda pr_, esub=esub, mxu=mxu:
+            for mxu in (False,):   # MXU K=3 dot: Mosaic compile FAIL (r4)
+                fk = jax.jit(lambda pr_, esub=esub:
                              pallas_bin_intersect2(
                                  binned.item_tile, binned.item_block,
                                  pr_, rays, binned.geom,
                                  n_tiles=n_tiles, p=th * tw,
                                  n_items=binned.item_tile.shape[0],
-                                 chunk=chunk, esub=esub, use_mxu=mxu))
+                                 chunk=chunk, esub=esub))
                 try:
                     dt = device_time(lambda i: fk(
                         binned.qstep[None] + np.float32(i) * 1e-20))
@@ -95,8 +95,7 @@ def main():
                     continue
                 _, _, steps = fk(binned.qstep[None])
                 s = np.asarray(steps)
-                cfg = dataclasses.replace(cfg0, bin_esub=esub,
-                                          bin_mxu=mxu)
+                cfg = dataclasses.replace(cfg0, bin_esub=esub)
                 fe = jax.jit(lambda o_, cfg=cfg: intersect_binned(
                     o_, rmd, tris, proj, cfg, h, w))
                 dte = device_time(
