@@ -150,7 +150,7 @@ def main():
     p.add_argument("--method", default="bin")
     p.add_argument("--leaf-size", type=int, default=128)
     p.add_argument("--tile-h", type=int, default=16)
-    p.add_argument("--tile-w", type=int, default=16)
+    p.add_argument("--tile-w", type=int, default=32)
     p.add_argument("--max-candidates", type=int, default=64)
     p.add_argument("--sub-h", type=int, default=0)
     p.add_argument("--sub-w", type=int, default=0)
@@ -159,7 +159,7 @@ def main():
     p.add_argument("--max-groups", type=int, default=24,
                    help="two-level cull: groups per tile (0 = flat cull)")
     p.add_argument("--bin-chunk", type=int, default=512)
-    p.add_argument("--bin-e-factor", type=float, default=1.6)
+    p.add_argument("--bin-e-factor", type=float, default=1.2)
     p.add_argument("--mt-precision", default="highest",
                    choices=["default", "high", "highest"])
     p.add_argument("--iters", type=int, default=10)
@@ -342,7 +342,7 @@ def main():
         "fwd_bwd_ms": dt_fb * 1e3, "fwd_bwd_fps": 1 / dt_fb,
         "fwd_bwd_rays_per_sec": rays_s,
         "oracle_agreement": agree,
-        "agree_full_vs_kd": agree_full,
+        "agree_full_vs_oracle": agree_full,
         "overflow_stats": overflow_stats,
         "reference_rays_per_sec_fwd_only": REF_RAYS_PER_SEC,
         "timing_methodology": "batch-delta, distinct frames, host-forced "

@@ -33,11 +33,12 @@ class RenderConfig:
     # machine, so the TPU path uses wide leaves and dense per-leaf MT).
     leaf_size: int = 128
     # Ray-tile edge lengths (pixels): tiles are the unit of culling.
-    # 16x16 is the on-chip optimum for the flagship bin path (with
-    # bin_chunk 512); the cluster paths (grid/pallas*) were tuned at
-    # 64x64 via bench flags.
+    # 16x32 (512 rays) is the honest-timing on-chip optimum for the
+    # flagship bin path at dragon scale (scripts/tile_sweep.py r4:
+    # 16.15 ms intersect vs 21.9 at 16x16, agreement 1.0000); the
+    # cluster paths (grid/pallas*) were tuned at 64x64 via bench flags.
     tile_h: int = 16
-    tile_w: int = 16
+    tile_w: int = 32
     # Max candidate clusters per tile after culling (static shape bound).
     max_candidates: int = 48
     # Two-level cull: pre-select `max_groups` groups of `group_size`
@@ -81,9 +82,10 @@ class RenderConfig:
     # Static entry capacity = bin_e_factor * num_triangles + 8192 (each
     # triangle bins to every tile its projected bbox overlaps; overflow is
     # counted in stats and means dropped geometry — raise the factor).
-    # Dragon-class @ 960x540/16x16 tiles measures ~1.3 entries/tri; the
-    # prepass sort+gathers scale with this static cap, so keep it tight.
-    bin_e_factor: float = 1.6
+    # Dragon-class @ 960x540/16x32 tiles measures ~1.0 entries/tri; the
+    # prepass sort+gathers scale with this static cap, so keep it tight —
+    # bin_escalate re-bins at 2x when a scene/camera overflows it.
+    bin_e_factor: float = 1.2
     # Kernel entry sub-slices per chunk: depth-sorted entries early-exit
     # at (chunk/esub)-entry granularity inside one grid item. A/B'd on
     # chip at dragon scale (scripts/kernel_ab.py, honest timing): esub=4
