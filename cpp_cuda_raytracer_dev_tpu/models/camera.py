@@ -126,14 +126,23 @@ class Camera(struct.PyTreeNode):
 
         Pixel index i maps to (ix, iy) = (i % W, i // W) exactly like the
         1-thread-per-pixel kernel (Camera.cu:94-95,103-104).
+
+        Computed as flat (R,) component arrays and stacked once at the
+        end: the former (H, W, 3) broadcast form put the 3-axis on TPU
+        lanes (125/128 padding waste per op) and lowered the normalize's
+        3-element reduction poorly — part of a measured ~11 ms gap
+        between render() and a precomputed-rays pipeline (r4).
         """
         n_mod, u_mod, v_mod = self.ray_mods()
-        ix = jnp.arange(self.res_w, dtype=self.pos.dtype)
-        iy = jnp.arange(self.res_h, dtype=self.pos.dtype)
-        d = (n_mod[None, None, :]
-             + u_mod[None, None, :] * ix[None, :, None]
-             + v_mod[None, None, :] * iy[:, None, None])  # (H, W, 3)
-        return vecmath.normalize(d).reshape(-1, 3)
+        r = self.res_h * self.res_w
+        i = jnp.arange(r, dtype=jnp.int32)
+        ix = (i % self.res_w).astype(self.pos.dtype)
+        iy = (i // self.res_w).astype(self.pos.dtype)
+        dx = n_mod[0] + u_mod[0] * ix + v_mod[0] * iy      # (R,) each
+        dy = n_mod[1] + u_mod[1] * ix + v_mod[1] * iy
+        dz = n_mod[2] + u_mod[2] * ix + v_mod[2] * iy
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        return jnp.stack([dx * inv, dy * inv, dz * inv], axis=-1)
 
 
 class RayBuffers(struct.PyTreeNode):
