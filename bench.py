@@ -166,8 +166,11 @@ def main():
     p.add_argument("--quick", action="store_true",
                    help="small smoke-test configuration")
     p.add_argument("--skip-validate", action="store_true")
-    p.add_argument("--agree-full", action="store_true",
-                   help="full-image agreement vs the exact kd path")
+    p.add_argument("--agree-full", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="full-image agreement vs the brute-force oracle "
+                        "(default ON so the recorded BENCH_DETAILS always "
+                        "carries it; --no-agree-full to skip)")
     p.add_argument("--rabbit-path",
                    default="/root/reference/TEST_Dungeonrun/rabbit_70k.ply")
     args = p.parse_args()
