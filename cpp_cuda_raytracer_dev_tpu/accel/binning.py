@@ -68,6 +68,7 @@ def bin_triangles(proj, origin: jax.Array,
                   p1: jax.Array, e1: jax.Array, e2: jax.Array,
                   res_h: int, res_w: int, th: int, tw: int,
                   e_cap: int, chunk: int = 512, eps: float = 1e-16,
+                  backface_cull: bool = False,
                   _stage: str | None = None) -> BinnedScene:
     """Bin triangles (object frame) to (th x tw) pixel tiles.
 
@@ -90,24 +91,56 @@ def bin_triangles(proj, origin: jax.Array,
     n_ty = -(-res_h // th)
     n_tiles = n_tx * n_ty
 
-    # project all 3 verts via three (T,3)@(3,3) matmuls on the shared basis
-    # (an einsum over a stacked (T,3,3) measured 4.9 ms at 800k tris — the
-    # materialized stack + per-vertex contractions are all HBM traffic).
-    # Everything downstream is flat (T,) component arrays: (T,3) layouts
-    # put the 3-axis on lanes (42/128 padding waste) and measured 4.4 ms
-    # for this stage alone — componentized it is sub-ms.
-    basis = jnp.stack([proj.n, proj.u, proj.v], axis=1)     # (3, 3)
-    abc0 = (p1 - proj.origin[None, :]) @ basis              # (T, 3)
-    dabc1 = e1 @ basis
-    dabc2 = e2 @ basis
-    a0, b0, c0 = abc0[:, 0], abc0[:, 1], abc0[:, 2]         # (T,) each
-    a1, b1, c1 = a0 + dabc1[:, 0], b0 + dabc1[:, 1], c0 + dabc1[:, 2]
-    a2, b2, c2 = a0 + dabc2[:, 0], b0 + dabc2[:, 1], c0 + dabc2[:, 2]
+    # Project all 3 verts COMPONENTIZED: flat (T,) chains only. The r4
+    # form used three (T,3)@(3,3) matmuls — but every (T,3) intermediate
+    # is lane-padded 3->128 on TPU (42x wasted traffic per materialized
+    # value; the bbox stage measured 2.6 ms, mostly these), so the basis
+    # contraction is written as 9 scalar-broadcast fmas per vertex that
+    # XLA fuses into one flat pass.
+    p1x, p1y, p1z = p1[:, 0], p1[:, 1], p1[:, 2]            # (T,) each
+    e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
+    e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
+    q0x, q0y, q0z = (p1x - proj.origin[0], p1y - proj.origin[1],
+                     p1z - proj.origin[2])
+
+    def _dotb(vx, vy, vz, b):
+        return vx * b[0] + vy * b[1] + vz * b[2]
+
+    a0 = _dotb(q0x, q0y, q0z, proj.n)                       # (T,) each
+    b0 = _dotb(q0x, q0y, q0z, proj.u)
+    c0 = _dotb(q0x, q0y, q0z, proj.v)
+    a1 = a0 + _dotb(e1x, e1y, e1z, proj.n)
+    b1 = b0 + _dotb(e1x, e1y, e1z, proj.u)
+    c1 = c0 + _dotb(e1x, e1y, e1z, proj.v)
+    a2 = a0 + _dotb(e2x, e2y, e2z, proj.n)
+    b2 = b0 + _dotb(e2x, e2y, e2z, proj.u)
+    c2 = c0 + _dotb(e2x, e2y, e2z, proj.v)
 
     f0, f1, f2 = a0 > 0.0, a1 > 0.0, a2 > 0.0
     all_front = f0 & f1 & f2
     any_front = f0 | f1 | f2
     cross = any_front & ~all_front                          # (T,)
+
+    if backface_cull:
+        # Primary rays share one origin, so "facing away" is a single
+        # per-triangle plane test: (e1 x e2) . (p1 - o) > 0. Such a
+        # triangle can only be hit on its BACK side, and for a closed,
+        # consistently-wound surface viewed from outside that hit is
+        # always occluded by a nearer front face (the ray must first
+        # enter through one) — culling its entries is exact. The
+        # reference's MT is two-sided (|det| acceptance,
+        # Trixel.cu:101-126), so this is OFF by default and only enabled
+        # for scenes where the occlusion argument holds; bench.py
+        # validates full-image agreement against the two-sided oracle
+        # whenever it is on. E at dragon scale drops ~2x (back half of
+        # the surface), which every per-entry prepass stage inherits.
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        away = (nx * (p1x - origin[0]) + ny * (p1y - origin[1])
+                + nz * (p1z - origin[2])) > 0.0
+        cross = cross & ~away
+        any_front = any_front & ~away
 
     def _px(b, a):
         return proj.adjust_x + proj.sx * (b / jnp.maximum(a, 1e-20))
@@ -157,6 +190,8 @@ def bin_triangles(proj, origin: jax.Array,
     tri_j = jnp.cumsum(ind)
     valid = j < jnp.minimum(e_tot, e_cap)
     tri_j = jnp.minimum(tri_j, t_n - 1)
+    if _stage == "tri":
+        return tri_j, valid
 
     # ---- (tile, depth) key sort ----
     # one i32 key: tile id in the high bits, quantized depth in however
@@ -238,9 +273,6 @@ def bin_triangles(proj, origin: jax.Array,
     # gather rows per entry. Layout (12, chunk) blocks: components on
     # sublanes, entries on lanes — exactly what the kernel's broadcast
     # form consumes (ops/pallas/bin_kernel2.py docstring).
-    p1x, p1y, p1z = p1[:, 0], p1[:, 1], p1[:, 2]
-    e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
-    e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
     ox, oy, oz = origin[0], origin[1], origin[2]
     tvx, tvy, tvz = ox - p1x, oy - p1y, oz - p1z
     mdx = e2y * e1z - e2z * e1y                             # e2 x e1

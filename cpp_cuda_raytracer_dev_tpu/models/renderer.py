@@ -141,9 +141,15 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
     dx, dy, dz = rmd[:, 0], rmd[:, 1], rmd[:, 2]             # world (R,)
     for oi, obj in enumerate(scene.objects):
         mask = (hit.obj == oi) & (hit.tri >= 0)
-        p1, e1, e2, n_obj, color = gather_rows(
-            (obj.tris.p1, obj.tris.e1, obj.tris.e2, obj.tris.n,
-             obj.tris.color), tri_idx)
+        # 12 columns, not 15: the unit normal is recomputed from the
+        # gathered edges below instead of gathering tris.n — per-hit row
+        # gathers are latency-bound (~8 ns/row r5), the recompute is
+        # fused elementwise math, and vertex gradients then flow through
+        # the TRUE normal dependence n(e1, e2) rather than treating the
+        # normal table as an independent parameter.
+        p1, e1, e2, color = gather_rows(
+            (obj.tris.p1, obj.tris.e1, obj.tris.e2, obj.tris.color),
+            tri_idx)
 
         # object-frame ray dir: R^T d, componentwise (R = pose rotation)
         m = obj.pose.matrix()                                 # (3, 3)
@@ -182,8 +188,15 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
         px = origin[0] + t * dx                              # world space
         py = origin[1] + t * dy
         pz = origin[2] + t * dz
-        # world normal: R n, componentwise
-        nx_, ny_, nz_ = n_obj[:, 0], n_obj[:, 1], n_obj[:, 2]
+        # object-frame unit normal from the gathered edges (same
+        # convention as Triangles.from_vertices: n = normalize(e1 x e2),
+        # the reference's init_tri_mem_cuda, Trixel.cu:11-27)
+        cnx = e1y * e2z - e1z * e2y
+        cny = e1z * e2x - e1x * e2z
+        cnz = e1x * e2y - e1y * e2x
+        inv_n = jax.lax.rsqrt(jnp.maximum(
+            cnx * cnx + cny * cny + cnz * cnz, 1e-30))
+        nx_, ny_, nz_ = cnx * inv_n, cny * inv_n, cnz * inv_n
         nwx = m[0, 0] * nx_ + m[0, 1] * ny_ + m[0, 2] * nz_
         nwy = m[1, 0] * nx_ + m[1, 1] * ny_ + m[1, 2] * nz_
         nwz = m[2, 0] * nx_ + m[2, 1] * ny_ + m[2, 2] * nz_

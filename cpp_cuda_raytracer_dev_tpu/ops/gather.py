@@ -41,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROW_CHUNK = 512      # rows of sorted cotangents per DMA/matmul step
-_TRI_BLOCK = 1024     # output rows (triangles) per grid step
+_TRI_BLOCK = 2048     # output rows (triangles) per grid step (r5: 1024 ->
+                      # 2048 halves the per-block fixed overhead that
+                      # dominated the 4.25 ms segsum at dragon scale)
 
 
 @jax.custom_vjp
@@ -66,14 +68,15 @@ def _fwd(tables, idx):
     return gather_rows(tables, idx), (idx, shapes)
 
 
-def _segsum_kernel(bounds_ref, blockt_hbm, out_ref, chunk_vmem, sem,
+def _segsum_kernel(lo_ref, hi_ref, blockt_hbm, out_ref, chunk_vmem, sem,
                    *, rc: int, f: int, blk: int):
     """out[b] (f, blk) = sum over sorted rows r of ct[:, r] placed at column
     idx[r] - b*blk (rows outside the block contribute nothing — the one-hot
-    test is the mask, so chunk boundaries need no alignment care)."""
+    test is the mask, so chunk boundaries need no alignment care; lo/hi are
+    CONSERVATIVE row bounds, see _segment_sum_pallas)."""
     b = pl.program_id(0)
-    lo = bounds_ref[b]
-    hi = bounds_ref[b + 1]
+    lo = lo_ref[b]
+    hi = hi_ref[b]
     out_ref[...] = jnp.zeros_like(out_ref)
     c0 = lo // rc
     nch = jnp.where(hi > lo, (hi - 1) // rc - c0 + 1, 0)
@@ -126,28 +129,48 @@ def _segment_sum_pallas(block_sorted: jax.Array, idx_sorted: jax.Array,
     r, f = block_sorted.shape
     rc, blk = _ROW_CHUNK, _TRI_BLOCK
     rpad = (-r) % rc
+    # sublane-align the feature axis: Mosaic requires DMA slices 8-aligned
+    # along dim 0 of the (f+1+pad, Rp) layout
+    fpad = (-(f + 1)) % 8
     idxf = idx_sorted.astype(jnp.float32)
-    aug = jnp.concatenate([block_sorted, idxf[:, None]], axis=1)  # (R, f+1)
+    aug = jnp.concatenate(
+        [block_sorted, idxf[:, None]]
+        + ([jnp.zeros((r, fpad), jnp.float32)] if fpad else []),
+        axis=1)                                      # (R, f+1+fpad)
     if rpad:
         pad = jnp.concatenate(
             [jnp.zeros((rpad, f), jnp.float32),
-             jnp.full((rpad, 1), -1.0, jnp.float32)], axis=1)
+             jnp.full((rpad, 1), -1.0, jnp.float32),
+             jnp.zeros((rpad, fpad), jnp.float32)], axis=1)
         aug = jnp.concatenate([aug, pad], axis=0)
-    blockt = aug.T                                   # (f+1, Rp)
+    blockt = aug.T                                   # (f+1+fpad, Rp)
 
     nblk = pl.cdiv(t_rows, blk)
     targets = (jnp.arange(nblk + 1, dtype=jnp.int32) * blk)
-    bounds = jnp.searchsorted(idx_sorted, targets, side="left"
-                              ).astype(jnp.int32)
+    # CONSERVATIVE per-block row bounds from a 512x-downsampled probe of
+    # the sorted indices. Exact bounds are lower_bound(idx_sorted, b*blk);
+    # both exact alternatives measured slow on chip (r5):
+    # jnp.searchsorted = ~20 sequential binary-search rounds, ~5 ms; a
+    # full (nblk, R) broadcast-compare = 4.6 ms (XLA materializes it).
+    # Sampling s[k] = idx_sorted[512k] gives m = #{k: s[k] < target} with
+    # true lower_bound in (512(m-1), 512m]; widening one sample each way
+    # costs the kernel at most one extra 512-row chunk per block edge
+    # (out-of-segment rows mask to zero in the one-hot), and the compare
+    # is (nblk, R/512) — trivial.
+    samp = idx_sorted[::512]                         # (ceil(R/512),)
+    m = jnp.sum((samp[None, :] < targets[:, None]).astype(jnp.int32),
+                axis=1)                              # (nblk+1,)
+    lo_b = jnp.maximum(m[:-1] - 1, 0) * 512
+    hi_b = jnp.minimum(m[1:] * 512, r)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nblk,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, f, blk), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, f + 1, rc), jnp.float32),
+            pltpu.VMEM((2, f + 1 + fpad, rc), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -156,7 +179,7 @@ def _segment_sum_pallas(block_sorted: jax.Array, idx_sorted: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblk, f, blk), jnp.float32),
         interpret=interpret,
-    )(bounds, blockt)
+    )(lo_b, hi_b, blockt)
     seg_t = out.transpose(1, 0, 2).reshape(f, nblk * blk)[:, :t_rows]
     return seg_t.T                                   # (T, F)
 

@@ -251,6 +251,11 @@ def render_sharded_2d_bin(scene: Scene, camera: Camera,
     from .collectives import allreduce_nearest_hit
     from .mesh import PRIMS_AXIS
 
+    if config.with_stats:
+        raise ValueError("with_stats makes intersect_binned return "
+                         "(Hit, stats); call it directly for telemetry "
+                         "(models/renderer.py trace_rays has the same "
+                         "contract)")
     band_h = _check_band(camera, mesh, config)
     nprims = mesh.shape[PRIMS_AXIS]
     res_w = camera.res_w

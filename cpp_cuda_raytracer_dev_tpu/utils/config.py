@@ -98,6 +98,15 @@ class RenderConfig:
     # the overflowing frame; the reference never drops geometry,
     # Trixel.cu:70-169). Residual overflow past 2x is still reported.
     bin_escalate: bool = True
+    # Cull triangles whose plane faces away from the (shared) primary-ray
+    # origin before binning (accel/binning.py). EXACT for closed,
+    # consistently-wound surfaces viewed from outside (a back-side hit is
+    # always occluded by a nearer front face); halves the entry table at
+    # dragon scale. OFF by default: the reference's MT is two-sided
+    # (|det|, Trixel.cu:101-126) and open meshes (rabbit's base holes,
+    # tester's dome) can expose back faces. bench.py enables it per scene
+    # and validates full-image agreement against the two-sided oracle.
+    backface_cull: bool = False
     # --- scatter-min rasterization path (method="raster", accel/raster.py)
     # Max projected-bbox span (pixels) handled by the per-triangle candidate
     # grid; triangles spanning more (or crossing the camera plane) go to the

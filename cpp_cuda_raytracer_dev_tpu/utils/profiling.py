@@ -104,18 +104,6 @@ def timed(fn, *args, iters: int = 10, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def _force(x) -> float:
-    """Materialize a scalar derived from a pytree on the host — the only
-    reliable execution fence on the tunneled runtime."""
-    import jax.numpy as jnp
-    leaves = [jnp.ravel(v)[0].astype(jnp.float32)
-              for v in jax.tree.leaves(x) if hasattr(v, "dtype")]
-    tot = leaves[0]
-    for v in leaves[1:]:
-        tot = tot + v
-    return float(tot)
-
-
 def device_time(make_call, n_lo: int = 4, n_hi: int = 8,
                 repeats: int = 3) -> float:
     """TRUE seconds of device compute per call, by the batch-delta method.
