@@ -597,6 +597,7 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     del d  # primary rays are derived from proj (see docstring)
     from ..accel.binning import bin_triangles
     from ..ops.pallas.bin_kernel2 import pallas_bin_intersect2
+    from ..ops.pallas.bin_kernel3 import pallas_bin_intersect3
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -643,14 +644,28 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
                                h2, w2, th, tw,
                                e_cap=cap, chunk=chunk, eps=config.eps,
                                backface_cull=config.backface_cull)
-        t_tiles, tri_tiles, steps = pallas_bin_intersect2(
-            binned.item_tile, binned.item_block, binned.qstep[None],
-            rays, binned.geom, n_tiles=n_tiles, p=th * tw,
-            n_items=binned.item_tile.shape[0],
-            chunk=chunk, eps=config.eps,
-            draw_distance=config.draw_distance, n_sub=1,
-            esub=config.bin_esub,
-            interpret=interpret)
+        if config.with_stats:
+            # gen-5 keeps the chunk-scan telemetry outputs
+            t_tiles, tri_tiles, steps = pallas_bin_intersect2(
+                binned.item_tile, binned.item_block, binned.qstep[None],
+                rays, binned.geom, n_tiles=n_tiles, p=th * tw,
+                n_items=binned.item_tile.shape[0],
+                chunk=chunk, eps=config.eps,
+                draw_distance=config.draw_distance, n_sub=1,
+                esub=config.bin_esub,
+                interpret=interpret)
+        else:
+            # gen-6 slim pipeline (merged (t, tri) output block):
+            # bit-identical winners, ~14% faster at dragon scale (r5 A/B)
+            t_tiles, tri_tiles = pallas_bin_intersect3(
+                binned.item_tile, binned.item_block, rays, binned.geom,
+                n_tiles=n_tiles, p=th * tw,
+                n_items=binned.item_tile.shape[0],
+                chunk=chunk, eps=config.eps,
+                draw_distance=config.draw_distance,
+                mt_dtype=config.bin_mt_dtype,
+                interpret=interpret)
+            steps = jnp.zeros((n_tiles, 2), jnp.int32)
         # the kernel already returns the winner's TRIANGLE id (one-hot
         # lane extraction of the table's id row) — no per-ray decode
         return binned, t_tiles, tri_tiles, steps

@@ -129,9 +129,12 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
 
     num_r = rmd.shape[0]
     tri_idx = jnp.maximum(hit.tri, 0)
-    radiance = jnp.zeros((num_r, 3), rmd.dtype)
-    normal = jnp.zeros((num_r, 3), rmd.dtype)
-    point = jnp.zeros((num_r, 3), rmd.dtype)
+    # NINE flat (R,) accumulators, stacked to (R, 3) only at the return
+    # boundary: under jax.grad every (R, 3) intermediate would be saved
+    # as a lane-padded residual for the backward pass (3 -> 128 lanes,
+    # 42x the traffic) — the componentized accumulators keep residuals
+    # dense.
+    acc = [jnp.zeros((num_r,), rmd.dtype) for _ in range(9)]
 
     from ..ops.gather import gather_rows
     if not config.sorted_scatter:
@@ -150,6 +153,7 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
         p1, e1, e2, color = gather_rows(
             (obj.tris.p1, obj.tris.e1, obj.tris.e2, obj.tris.color),
             tri_idx)
+        cr, cg, cb = color[:, 0], color[:, 1], color[:, 2]
 
         # object-frame ray dir: R^T d, componentwise (R = pose rotation)
         m = obj.pose.matrix()                                 # (3, 3)
@@ -200,15 +204,16 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
         nwx = m[0, 0] * nx_ + m[0, 1] * ny_ + m[0, 2] * nz_
         nwy = m[1, 0] * nx_ + m[1, 1] * ny_ + m[1, 2] * nz_
         nwz = m[2, 0] * nx_ + m[2, 1] * ny_ + m[2, 2] * nz_
-        rad = phong_radiance_c((px, py, pz), (nwx, nwy, nwz),
-                               (dx, dy, dz), color, scene.phong)
+        rr, rg, rb = phong_radiance_c((px, py, pz), (nwx, nwy, nwz),
+                                      (dx, dy, dz), (cr, cg, cb),
+                                      scene.phong)
 
-        m3 = mask[..., None]
-        radiance = jnp.where(m3, rad, radiance)
-        normal = jnp.where(m3, jnp.stack([nwx, nwy, nwz], axis=-1),
-                           normal)
-        point = jnp.where(m3, jnp.stack([px, py, pz], axis=-1), point)
+        new = (rr, rg, rb, nwx, nwy, nwz, px, py, pz)
+        acc = [jnp.where(mask, n, a) for n, a in zip(new, acc)]
 
+    radiance = jnp.stack(acc[0:3], axis=-1)
+    normal = jnp.stack(acc[3:6], axis=-1)
+    point = jnp.stack(acc[6:9], axis=-1)
     return radiance, normal, point, hit.tri >= 0
 
 

@@ -43,15 +43,19 @@ def phong_radiance(hit_point: jax.Array, normal: jax.Array,
             + params.light_color[None, :] * spec[..., None])
 
 
-def phong_radiance_c(hit_point, normal, ray_dir, tri_color: jax.Array,
-                     params: PhongParams) -> jax.Array:
-    """Componentized `phong_radiance`: hit_point/normal/ray_dir are
-    (px, py, pz)-style tuples of flat (R,) arrays (TPU-friendly layout —
-    see shade_hits), tri_color stays (R, 3). Identical math; returns
-    (R, 3)."""
+def phong_radiance_c(hit_point, normal, ray_dir, tri_color,
+                     params: PhongParams):
+    """Componentized `phong_radiance`: hit_point/normal/ray_dir/tri_color
+    are (px, py, pz)-style tuples of flat (R,) arrays and the return is a
+    flat (rr, rg, rb) tuple. Fully flat in AND out (r5): any (R, 3)
+    value materialized on TPU lane-pads the 3-axis to 128 (42x traffic
+    waste), and under jax.grad the residuals saved for the backward pass
+    materialize exactly these intermediates — the componentized form
+    keeps every residual a dense (R,) array."""
     px, py, pz = hit_point
     nx, ny, nz = normal
     dx, dy, dz = ray_dir
+    cr, cg, cb = tri_color
     lx = params.light_pos[0] - px
     ly = params.light_pos[1] - py
     lz = params.light_pos[2] - pz
@@ -63,8 +67,10 @@ def phong_radiance_c(hit_point, normal, ray_dir, tri_color: jax.Array,
             + (lz - 2.0 * dot_r_n * nz) * dz)
     diffuse = params.diffuse * jnp.abs(dot_r_n)
     spec = params.specular * jnp.abs(rsum) ** params.exponent
-    return (tri_color * diffuse[..., None] * params.light_color[None, :]
-            + params.light_color[None, :] * spec[..., None])
+    lc = params.light_color
+    return (cr * diffuse * lc[0] + lc[0] * spec,
+            cg * diffuse * lc[1] + lc[1] * spec,
+            cb * diffuse * lc[2] + lc[2] * spec)
 
 
 def tonemap_maxnorm(radiance: jax.Array) -> jax.Array:

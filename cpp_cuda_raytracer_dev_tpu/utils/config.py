@@ -86,6 +86,15 @@ class RenderConfig:
     # prepass sort+gathers scale with this static cap, so keep it tight —
     # bin_escalate re-bins at 2x when a scene/camera overflows it.
     bin_e_factor: float = 1.2
+    # Intersection arithmetic dtype for the gen-6 bin kernel: "float32"
+    # (exact, the default) or "bfloat16" — a documented APPROXIMATE
+    # preview mode: 2.6x faster kernel on chip (r5 A/B: 9.3 -> 3.6 ms at
+    # dragon scale) but winner agreement vs the exact oracle drops to
+    # ~0.66. There is no exact-recheck path on this VPU (no widening
+    # bf16 multiplies, and lanes cannot be compacted per-ray), so bf16
+    # is NOT used for any validated/benchmark number — r5's committed
+    # negative result for VERDICT ask #4.
+    bin_mt_dtype: str = "float32"
     # Kernel entry sub-slices per chunk: depth-sorted entries early-exit
     # at (chunk/esub)-entry granularity inside one grid item. A/B'd on
     # chip at dragon scale (scripts/kernel_ab.py, honest timing): esub=4
