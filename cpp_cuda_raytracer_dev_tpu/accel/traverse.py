@@ -746,7 +746,8 @@ class KDTables(struct.PyTreeNode):
 
 def kd_intersect(o: jax.Array, d: jax.Array, tables: KDTables,
                  draw_distance: float = 400.0,
-                 eps: float = MT_EPSILON) -> Hit:
+                 eps: float = MT_EPSILON,
+                 ray_chunk: int = 32768) -> Hit:
     """Reference-semantics stack traversal, lockstep-vectorized over rays.
 
     Per iteration each ray pops one node, slab-tests it
@@ -754,8 +755,26 @@ def kd_intersect(o: jax.Array, d: jax.Array, tables: KDTables,
     (Trixel.cu:98-145), else pushes children ordered by the s1/s2
     split-plane rule (Trixel.cu:146-169). Runs until every ray's stack is
     empty. Validation path — O(depth) state per ray, heavy gathers.
+
+    Ray batches larger than ``ray_chunk`` are processed in sequential
+    slabs via ``lax.map``: one unchunked while_loop over a full 960x540
+    frame at dragon scale faulted the TPU worker (r4); bounding the live
+    per-ray state (stack + leaf gathers) to 32k rays keeps the full-image
+    KD oracle runnable on chip (VERDICT r4 ask #8). Set ray_chunk=0 to
+    disable chunking.
     """
     num_r = d.shape[0]
+    if ray_chunk and num_r > ray_chunk:
+        pad = (-num_r) % ray_chunk
+        d_pad = jnp.concatenate(
+            [d, jnp.broadcast_to(d[:1], (pad, 3))]) if pad else d
+        slabs = d_pad.reshape(-1, ray_chunk, 3)
+        hits = jax.lax.map(
+            lambda ds: kd_intersect(o, ds, tables, draw_distance, eps,
+                                    ray_chunk=0), slabs)
+        return Hit(t=hits.t.reshape(-1)[:num_r],
+                   tri=hits.tri.reshape(-1)[:num_r],
+                   obj=hits.obj.reshape(-1)[:num_r])
     depth = tables.max_depth + 2
     lmax = tables.max_leaf
 

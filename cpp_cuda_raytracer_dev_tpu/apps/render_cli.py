@@ -23,9 +23,9 @@ def main(argv=None):
     p.add_argument("--mesh", required=True)
     p.add_argument("--out", default="frame.png")
     p.add_argument("--res", type=int, nargs=2, default=[960, 540])
-    p.add_argument("--method", default="pallas",
+    p.add_argument("--method", default="bin",
                    choices=["brute", "fixed", "grid", "pallas", "pallas2", "kd", "bin"])
-    p.add_argument("--leaf-size", type=int, default=64)
+    p.add_argument("--leaf-size", type=int, default=128)
     p.add_argument("--max-candidates", type=int, default=48)
     p.add_argument("--pos", type=float, nargs=3, default=None)
     p.add_argument("--look-at", type=float, nargs=3, default=None)

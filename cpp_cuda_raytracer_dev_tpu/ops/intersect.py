@@ -81,7 +81,11 @@ def mt_test(o, d, p1, e1, e2, eps: float = MT_EPSILON):
     det = vecmath.dot(e1, pvec)
     tvec = o - p1
     qvec = vecmath.cross(tvec, e1)
-    inv = 1.0 / det
+    # guarded division: det == 0 lanes are rejected by |det| >= eps below,
+    # so the substitute value never reaches an accepted output — the guard
+    # only keeps checkify float_checks (utils/debug.py) free of false
+    # positives from masked-SIMD lanes.
+    inv = 1.0 / jnp.where(det == 0.0, 1.0, det)
     u = inv * vecmath.dot(tvec, pvec)
     v = inv * vecmath.dot(d, qvec)
     t = inv * vecmath.dot(e2, qvec)
@@ -197,7 +201,7 @@ def mt_fixed_origin(d: jax.Array, cache: FixedOriginCache,
                      preferred_element_type=d.dtype)
         vd = jnp.dot(d, mvc.T, precision=hp,
                      preferred_element_type=d.dtype)
-        inv = 1.0 / det
+        inv = 1.0 / jnp.where(det == 0.0, 1.0, det)  # masked lanes only
         u = ud * inv
         v = vd * inv
         t = tdc[None, :] * inv

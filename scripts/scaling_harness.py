@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Virtual-mesh scaling harness, strong + weak variants, written to
-SCALING_r04.json.
+SCALING_r05.json.
 
 Strong: equal TOTAL work at 1/2/4/8 devices (r02 form — on shared host
 cores "2 devices" can even come out faster than 1, which is XLA
@@ -97,11 +97,17 @@ def main():
 
     sbase, wbase = strong[0]["step_ms"], weak[0]["step_ms"]
     artifact = {
+        "efficiency_measurable": False,
         "note": ("virtual CPU mesh: devices share 2 host cores; real ICI "
                  "efficiency needs a pod. weak_norm = step_ms / (n * "
                  "1-dev step_ms) with constant per-device work — near "
                  "1.0 means the sharding machinery (shard_map + psum) "
                  "adds ~no overhead beyond the n-fold total work."),
+        "parsed": ("NO number in this file is an ICI scaling-efficiency "
+                   "measurement (the >=85% BASELINE bar remains "
+                   "unmeasured: single-chip environment). strong/weak "
+                   "rows show only that sharded programs compile and "
+                   "run; their ratios are 2-core host-scheduler noise."),
         "scene_tris": n_tris, "res_w": res_w, "band_h": band,
         "method": config.method,
         "strong": strong,
@@ -109,7 +115,7 @@ def main():
         "strong_overhead_vs_1dev": [r["step_ms"] / sbase for r in strong],
         "weak_norm": [r["step_ms"] / (r["devices"] * wbase) for r in weak],
     }
-    with open("/root/repo/SCALING_r04.json", "w") as f:
+    with open("/root/repo/SCALING_r05.json", "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({"strong_overhead": artifact["strong_overhead_vs_1dev"],
                       "weak_norm": artifact["weak_norm"]}))
