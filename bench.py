@@ -63,6 +63,13 @@ def build_scene(args):
         # (validated below by full-image agreement vs the two-sided
         # oracle); rabbit has base holes that can expose back faces.
         args.backface_cull = args.scene != "rabbit"
+    if args.backface_cull and args.bin_e_factor == 1.2:
+        # every per-entry prepass stage is static-shaped at
+        # e_cap = e_factor * tris, so the cull only pays off with a tight
+        # cap (r5: dragon live entries drop 789k -> 373k = 0.47/tri).
+        # Overflow still self-heals via the 2x re-bin escalation and is
+        # reported in the artifact.
+        args.bin_e_factor = 0.55 if args.scene == "dragon-class" else 0.8
     config = RenderConfig(method=args.method, leaf_size=args.leaf_size,
                           tile_h=args.tile_h, tile_w=args.tile_w,
                           max_candidates=args.max_candidates,

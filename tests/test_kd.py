@@ -105,3 +105,21 @@ def test_kd_disk_cache_roundtrip(tmp_path):
     t3 = cache.build_kd_cached(lo, hi, min_node_size=8,
                                cache_dir=str(tmp_path))
     assert t3.num_leaves != t2.num_leaves or t3.min_node_size == 8
+
+
+def test_kd_ray_chunking_equivalent(tester_mesh):
+    """The 32k-slab chunking (bounds live state for large CPU validation
+    runs; the TPU worker faults on this while_loop at dragon scale
+    regardless — see kd_intersect docstring scope note) must be exactly
+    the unchunked traversal."""
+    tris = Triangles.from_vertices(tester_mesh.tri_vertices)
+    o, d = rays_at(tester_mesh)
+    tree = build_kd(tester_mesh.aabb_min, tester_mesh.aabb_max,
+                    min_node_size=4)
+    tables = KDTables.from_tree(tree, tris)
+    full = kd_intersect(o, d, tables, draw_distance=1e4, ray_chunk=0)
+    # chunk smaller than the batch and NOT dividing it (exercises padding)
+    slab = kd_intersect(o, d, tables, draw_distance=1e4, ray_chunk=48)
+    np.testing.assert_array_equal(np.asarray(full.tri),
+                                  np.asarray(slab.tri))
+    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(slab.t))
