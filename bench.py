@@ -356,6 +356,25 @@ def main():
     log(f"fwd+bwd: {dt_fb * 1e3:.2f} ms/step = {1 / dt_fb:.1f} FPS "
         f"= {num_rays / dt_fb:.3e} rays/s")
 
+    # SECONDARY detail row (not the headline): inverse-rendering-typical
+    # step differentiating only pose + lighting/material scalars + camera
+    # (the parameters the reference's interactive loop mutates). The
+    # headline above differentiates w.r.t. EVERYTHING including the
+    # 800k-row vertex/color tables, whose gather-VJP dominates backward
+    # (BWD_SPLIT_r05.json).
+    def loss_pc(po, ph, cpos, s, c):
+        o = s.objects[0]
+        s2 = s.replace(objects=[o.replace(pose=po)], phong=ph)
+        return jnp.mean(render(s2, c.replace(pos=cpos), config,
+                               accel).radiance * w)
+
+    fwd_bwd_pc = jax.jit(lambda s, c: jax.grad(loss_pc, argnums=(0, 1, 2))(
+        s.objects[0].pose, s.phong, c.pos, s, c))
+    jax.block_until_ready(fwd_bwd_pc(scene, camera))
+    dt_pc = bench(fwd_bwd_pc, scene, camera)
+    log(f"fwd+bwd (pose/light/camera only): {dt_pc * 1e3:.2f} ms/step "
+        f"= {1 / dt_pc:.1f} FPS = {num_rays / dt_pc:.3e} rays/s")
+
     rays_s = num_rays / dt_fb
     details = {
         "scene": args.scene, "num_tris": num_tris,
@@ -366,6 +385,7 @@ def main():
         "fwd_rays_per_sec": num_rays / dt_f,
         "fwd_bwd_ms": dt_fb * 1e3, "fwd_bwd_fps": 1 / dt_fb,
         "fwd_bwd_rays_per_sec": rays_s,
+        "fwd_bwd_pose_light_camera_only_ms": dt_pc * 1e3,
         "oracle_agreement": agree,
         "agree_full_vs_oracle": agree_full,
         "overflow_stats": overflow_stats,

@@ -255,9 +255,13 @@ def bin_triangles(proj, origin: jax.Array,
     # 2^31-1 => tile id > every real tile, counted past the end.
     tile_of = (key >> dbits)                                # (E,) sorted
     q = jnp.arange(n_tiles, dtype=jnp.int32)                # (nT,)
-    # fused broadcast-compare reduction: (nT, E) compares never
-    # materialize, XLA reduces along E per output row (~2.6G lane-ops
-    # at dragon scale ≈ 3 ms in one op)
+    # fused broadcast-compare reduction. FUSION CAVEAT (r5, advisor r4):
+    # this relies on XLA fusing the (nT, E) compare into the reduction.
+    # At the tuned sizes (nT ~1-2k, E <=1M) the stage measures ~free
+    # in-context, but the SAME pattern at (783, 518k) in ops/gather.py
+    # measured 4.6 ms — XLA materialized it there — and was replaced by
+    # a downsampled probe. If tile counts grow past ~4k, check this
+    # stage's cost and switch to the gather.py-style sampled bounds.
     lo = jnp.sum((tile_of[None, :] < q[:, None]).astype(jnp.int32),
                  axis=1)                                    # (nT,)
     n_valid = jnp.minimum(e_tot, e_cap).astype(jnp.int32)

@@ -47,3 +47,13 @@ def test_debug_nans_context(tiny_scene):
         with pytest.raises(FloatingPointError):
             jax.jit(lambda x: x / x)(jnp.zeros(4)).block_until_ready()
     assert not jax.config.jax_debug_nans
+
+
+def test_checked_render_flagship_bin(tiny_scene):
+    """checkify composes with the FLAGSHIP bin path too (Pallas call is
+    opaque to checkify; its outputs are checked by the consuming ops)."""
+    scene, camera = tiny_scene
+    err, frame = checked_render(scene, camera,
+                                RenderConfig(method="bin", bin_chunk=128))
+    assert err.get() is None
+    assert np.isfinite(np.asarray(frame.radiance)).all()
