@@ -229,3 +229,41 @@ def test_bin_grad_flows(tester):
     g = jax.grad(loss)(scene)
     leaves = [np.abs(np.asarray(x)).max() for x in jax.tree.leaves(g.phong)]
     assert np.isfinite(leaves).all() and max(leaves) > 0
+
+
+def test_backface_cull_exact_on_closed_mesh():
+    """backface_cull drops ~half the entries on a closed watertight
+    surface viewed from outside while the nearest hit stays the oracle's
+    (a back-side hit is always occluded by a nearer front face). The
+    only tolerated flips are exact-t ties at silhouette shared edges."""
+    from cpp_cuda_raytracer_dev_tpu.models.renderer import trace_rays
+    from cpp_cuda_raytracer_dev_tpu.utils.procgen import uv_sphere
+
+    tris = Triangles.from_vertices(uv_sphere(50, 50, roughness=0.03))
+    scene = Scene.create([SceneObject.create(tris)])
+    cam = Camera.create(96, 64, pos=[0.0, 0.2, -3.0],
+                        look_at=[0.0, 0.0, 0.0], up=[0.0, 1.0, 0.0],
+                        film_h=0.024, focal=0.055)
+    rmd = cam.ray_directions()
+    proj = cam.projection()
+    kw = dict(method="bin", bin_chunk=128)
+    hit_n = trace_rays(scene, cam.pos, rmd, RenderConfig(**kw), None,
+                       cam.res_h, cam.res_w, proj=proj)
+    hit_c = trace_rays(scene, cam.pos, rmd,
+                       RenderConfig(backface_cull=True, **kw), None,
+                       cam.res_h, cam.res_w, proj=proj)
+    tri_n, tri_c = np.asarray(hit_n.tri), np.asarray(hit_c.tri)
+    mism = np.nonzero(tri_n != tri_c)[0]
+    # any flip must be an exact-t tie, never a dropped/worse hit
+    t_n, t_c = np.asarray(hit_n.t), np.asarray(hit_c.t)
+    assert mism.size <= 0.001 * tri_n.size
+    np.testing.assert_allclose(t_c[mism], t_n[mism], rtol=1e-4)
+    # and the cull must actually drop entries (the point of the flag)
+    from cpp_cuda_raytracer_dev_tpu.accel.binning import bin_triangles
+    e = []
+    for cull in (False, True):
+        b = bin_triangles(proj, jnp.asarray(cam.pos), tris.p1, tris.e1,
+                          tris.e2, 64, 96, 16, 32, e_cap=131072,
+                          chunk=128, backface_cull=cull)
+        e.append(int(b.num_entries))
+    assert e[1] < 0.7 * e[0]
