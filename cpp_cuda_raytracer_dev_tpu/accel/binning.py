@@ -85,7 +85,17 @@ def bin_triangles(proj, origin: jax.Array,
     bin_stage_prof.py).
     """
     f32 = jnp.float32
-    t_n = p1.shape[0]
+
+    def _cols(a):
+        # (T, 3) arrays OR pre-flattened (ax, ay, az) component tuples —
+        # callers on the hot path pass the Triangles flat fields directly
+        # (a (T, 3) column slice costs a full pass over the 128-lane-
+        # padded storage, ~1 ms/array at 800k tris; models/scene.py r5)
+        if isinstance(a, (tuple, list)):
+            return a
+        return a[:, 0], a[:, 1], a[:, 2]
+
+    t_n = _cols(p1)[0].shape[0]
     e_cap = -(-e_cap // chunk) * chunk                      # chunk-align
     n_tx = -(-res_w // tw)
     n_ty = -(-res_h // th)
@@ -97,9 +107,9 @@ def bin_triangles(proj, origin: jax.Array,
     # value; the bbox stage measured 2.6 ms, mostly these), so the basis
     # contraction is written as 9 scalar-broadcast fmas per vertex that
     # XLA fuses into one flat pass.
-    p1x, p1y, p1z = p1[:, 0], p1[:, 1], p1[:, 2]            # (T,) each
-    e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
-    e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
+    p1x, p1y, p1z = _cols(p1)                               # (T,) each
+    e1x, e1y, e1z = _cols(e1)
+    e2x, e2y, e2z = _cols(e2)
     q0x, q0y, q0z = (p1x - proj.origin[0], p1y - proj.origin[1],
                      p1z - proj.origin[2])
 

@@ -624,14 +624,14 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
     # measured ~1 us per tile, a large share of kernel time at 2k tiles.
     # Ray basis: d(ix, iy) ∝ n + (u/sx)(ix - ax) + (v/sy)(iy - ay)
     # (Camera.cu:103-104 semantics in the object frame).
-    # componentized AABB: a stacked (T, 3, 3) reduction lane-pads the
-    # 3-axes to 128 (42x traffic waste at 800k tris); six flat (T,)
-    # reductions fuse into one pass
+    # componentized AABB over the FLAT component fields (models/scene.py
+    # r5 layout): six dense (T,) reductions fuse into one pass — no
+    # lane-padded (T, 3) traffic anywhere
     bmin, bmax = [], []
-    for ax in range(3):
-        v1 = tris.p1[:, ax]
-        v2 = v1 + tris.e1[:, ax]
-        v3 = v1 + tris.e2[:, ax]
+    for v1, d1, d2 in ((tris.p1x, tris.e1x, tris.e2x),
+                       (tris.p1y, tris.e1y, tris.e2y),
+                       (tris.p1z, tris.e1z, tris.e2z)):
+        v2, v3 = v1 + d1, v1 + d2
         bmin.append(jnp.min(jnp.minimum(jnp.minimum(v1, v2), v3)))
         bmax.append(jnp.max(jnp.maximum(jnp.maximum(v1, v2), v3)))
     bmin = jnp.stack(bmin)
@@ -640,7 +640,10 @@ def intersect_binned(o: jax.Array, d: jax.Array, tris, proj,
                       config.draw_distance)
 
     def bin_and_run(cap):
-        binned = bin_triangles(proj, o, tris.p1, tris.e1, tris.e2,
+        binned = bin_triangles(proj, o,
+                               (tris.p1x, tris.p1y, tris.p1z),
+                               (tris.e1x, tris.e1y, tris.e1z),
+                               (tris.e2x, tris.e2y, tris.e2z),
                                h2, w2, th, tw,
                                e_cap=cap, chunk=chunk, eps=config.eps,
                                backface_cull=config.backface_cull)

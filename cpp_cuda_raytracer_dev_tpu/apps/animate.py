@@ -118,9 +118,13 @@ def main(argv=None):
     from ..utils.profiling import device_time
     final_scene, final_cam = scene, camera
 
+    pscale = max(1.0, float(np.max(np.abs(np.asarray(final_cam.pos)))))
+
     def call(i):
+        # perturb above the position's f32 ULP or the runtime dedup
+        # cache serves the repeat and the delta reads ~0 (r5 fix)
         c = final_cam.replace(
-            pos=final_cam.pos + np.float32(i % 509) * 1e-7)
+            pos=final_cam.pos + np.float32((i % 509) * 3e-7 * pscale))
         return frame_fn(final_scene, c)
 
     dt = device_time(call)

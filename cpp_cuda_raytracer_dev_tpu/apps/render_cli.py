@@ -86,8 +86,13 @@ def main(argv=None):
     # host-forced fence (block_until_ready does not force execution on
     # the tunneled axon runtime — r4 methodology fix, see bench.py)
     from ..utils.profiling import device_time
+    # perturbation must exceed the f32 ULP of the camera position or the
+    # runtime dedup-caches the repeated dispatch and reports ~0 ms
+    # (observed r5 on meshes whose auto camera sits far from the origin)
+    pscale = max(1.0, float(np.max(np.abs(np.asarray(camera.pos)))))
     dt = device_time(lambda i: frame_fn(
-        scene, camera.replace(pos=camera.pos + np.float32(i) * 1e-7)
+        scene, camera.replace(
+            pos=camera.pos + np.float32((i % 509) * 3e-7 * pscale))
     ).radiance, n_lo=2, n_hi=5)
     print(f"steady-state frame: {dt * 1e3:.2f} ms ({1 / dt:.1f} FPS, "
           f"{w * h / dt:.3e} rays/s)")

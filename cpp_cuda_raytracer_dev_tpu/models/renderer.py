@@ -149,11 +149,17 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
         # gathers are latency-bound (~8 ns/row r5), the recompute is
         # fused elementwise math, and vertex gradients then flow through
         # the TRUE normal dependence n(e1, e2) rather than treating the
-        # normal table as an independent parameter.
-        p1, e1, e2, color = gather_rows(
-            (obj.tris.p1, obj.tris.e1, obj.tris.e2, obj.tris.color),
-            tri_idx)
-        cr, cg, cb = color[:, 0], color[:, 1], color[:, 2]
+        # normal table as an independent parameter. The table is packed
+        # once from the FLAT component fields (models/scene.py r5
+        # layout); gradients flow back through the stack to each flat
+        # parameter leaf.
+        t_ = obj.tris
+        packed = jnp.concatenate(
+            [jnp.stack([t_.p1x, t_.p1y, t_.p1z, t_.e1x, t_.e1y, t_.e1z,
+                        t_.e2x, t_.e2y, t_.e2z], axis=1),
+             t_.color], axis=1)                              # (T, 12)
+        rows, = gather_rows((packed,), tri_idx)
+        cr, cg, cb = rows[:, 9], rows[:, 10], rows[:, 11]
 
         # object-frame ray dir: R^T d, componentwise (R = pose rotation)
         m = obj.pose.matrix()                                 # (3, 3)
@@ -166,11 +172,11 @@ def shade_hits(scene: Scene, origin: jax.Array, rmd: jax.Array, hit: Hit,
         # mt_test: pvec = d x e2, det = e1.pvec, tvec = o - p1,
         # qvec = tvec x e1, t = e2.qvec/det), acceptance per Trixel.cu:
         # 106,127
-        e1x, e1y, e1z = e1[:, 0], e1[:, 1], e1[:, 2]
-        e2x, e2y, e2z = e2[:, 0], e2[:, 1], e2[:, 2]
-        tvx = ox_ - p1[:, 0]
-        tvy = oy_ - p1[:, 1]
-        tvz = oz_ - p1[:, 2]
+        e1x, e1y, e1z = rows[:, 3], rows[:, 4], rows[:, 5]
+        e2x, e2y, e2z = rows[:, 6], rows[:, 7], rows[:, 8]
+        tvx = ox_ - rows[:, 0]
+        tvy = oy_ - rows[:, 1]
+        tvz = oz_ - rows[:, 2]
         pvx = ddy * e2z - ddz * e2y
         pvy = ddz * e2x - ddx * e2z
         pvz = ddx * e2y - ddy * e2x
