@@ -154,7 +154,11 @@ def bench(fn, scene, camera, n_lo=3, n_hi=7):
         cam = camera.replace(pos=camera.pos + np.float32(i % 509) * 1e-7)
         return fn(scene, cam)
 
-    return device_time(call, n_lo=n_lo, n_hi=n_hi)
+    # 5 replicate deltas (median): single deltas on the tunneled runtime
+    # carry +-10-20% jitter and whole sessions occasionally spike ~1.7x
+    # (r5: one clustered step read 87.9 ms vs 49.8-50.4 on immediate
+    # re-measurement)
+    return device_time(call, n_lo=n_lo, n_hi=n_hi, repeats=5)
 
 
 def main():

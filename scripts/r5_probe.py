@@ -171,11 +171,13 @@ def main():
                 color=col))])
             return jnp.mean(render(s2, c, config, None).radiance * w)
 
-        def loss_verts(p1e1e2, s, c):
-            p1, e1, e2 = p1e1e2
+        def loss_verts(flat9, s, c):
+            # Triangles stores flat (T,) component leaves (r5 layout)
             o = s.objects[0]
-            s2 = s.replace(objects=[o.replace(tris=o.tris.replace(
-                p1=p1, e1=e1, e2=e2))])
+            names = ("p1x", "p1y", "p1z", "e1x", "e1y", "e1z",
+                     "e2x", "e2y", "e2z")
+            s2 = s.replace(objects=[o.replace(
+                tris=o.tris.replace(**dict(zip(names, flat9))))])
             return jnp.mean(render(s2, c, config, None).radiance * w)
 
         def loss_cam(pos, s, c):
@@ -193,8 +195,9 @@ def main():
                                              s, c))
         dt("grad_verts",
            lambda s, c: jax.grad(loss_verts)(
-               (s.objects[0].tris.p1, s.objects[0].tris.e1,
-                s.objects[0].tris.e2), s, c))
+               tuple(getattr(s.objects[0].tris, n) for n in
+                     ("p1x", "p1y", "p1z", "e1x", "e1y", "e1z",
+                      "e2x", "e2y", "e2z")), s, c))
 
     if args.prims:
         t_n = args.tris
