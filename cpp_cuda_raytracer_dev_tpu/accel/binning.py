@@ -355,6 +355,14 @@ def bin_triangles(proj, origin: jax.Array,
     off = jnp.minimum(jnp.arange(i_cap, dtype=jnp.int32) - istart,
                       ig[:, 1] - 1)
     item_block = jnp.minimum(ig[:, 2] + off, nblocks - 1)
+    # Tail padding items point at the all-dead pad chunk (depth row BIG
+    # => the kernel's certificate gate `cmin < wb` is always false, so a
+    # padding item costs ~a gate instead of a full 512x512 MT re-scan of
+    # the final real block — ~600 wasted items = ~0.6 ms at dragon scale
+    # before this, r5). Scanning it would still be harmless (det = 0
+    # rejects every dead entry).
+    pad_item = jnp.arange(i_cap, dtype=jnp.int32) >= cumi[-1]
+    item_block = jnp.where(pad_item, nblocks - 1, item_block)
 
     return BinnedScene(
         geom=geom, entry_tri=entry_tri, starts=starts,
